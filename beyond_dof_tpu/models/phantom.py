@@ -1,0 +1,123 @@
+"""Host-side phantom generators (replaces the external xdesign dependency).
+
+Provides the reference's analytic shape helpers (ref tensorflow_recon/
+util.py:926-972) plus generators for the benchmark workloads: an
+adhesin-like blob phantom (64^3, ref reconstruct_fullfield.py:19-47) and the
+cone/foam phantom ("tube sample" with spherical voids, ref
+simulation/tube_sample_64.py, cone_256_foam workloads).
+
+These run on the host in NumPy — phantom creation is one-off I/O-side work.
+"""
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+__all__ = ["generate_sphere", "generate_shell", "generate_disk", "generate_ring",
+           "cone_foam_phantom", "adhesin_phantom"]
+
+
+def generate_sphere(shape, radius, anti_aliasing=5):
+    """Anti-aliased solid sphere centered in ``shape`` (ref util.py:926-942)."""
+    shape = np.array(shape)
+    radius = int(radius)
+    x = np.linspace(-radius, radius, (radius * 2 + 1) * anti_aliasing)
+    xx, yy, zz = np.meshgrid(x, x, x)
+    a = (xx ** 2 + yy ** 2 + zz ** 2 <= radius ** 2).astype("float")
+    res = np.zeros(shape * anti_aliasing)
+    center_res = (np.array(res.shape) / 2).astype("int")
+    sl = [slice(c - int(a.shape[0] / 2), c + int(a.shape[0] / 2)) for c in center_res]
+    res[tuple(sl)] = a[: sl[0].stop - sl[0].start, : sl[1].stop - sl[1].start, : sl[2].stop - sl[2].start]
+    res = gaussian_filter(res, 0.5 * anti_aliasing)
+    return res[::anti_aliasing, ::anti_aliasing, ::anti_aliasing]
+
+
+def generate_shell(shape, radius, anti_aliasing=5):
+    """Spherical shell = difference of two spheres (ref util.py:945-949)."""
+    return (generate_sphere(shape, radius + 0.5, anti_aliasing)
+            - generate_sphere(shape, radius - 0.5, anti_aliasing))
+
+
+def generate_disk(shape, radius, anti_aliasing=5):
+    """Anti-aliased 2D disk (ref util.py:952-965)."""
+    shape = np.array(shape)
+    radius = int(radius)
+    x = np.linspace(-radius, radius, (radius * 2 + 1) * anti_aliasing)
+    xx, yy = np.meshgrid(x, x)
+    a = (xx ** 2 + yy ** 2 <= radius ** 2).astype("float")
+    res = np.zeros(shape * anti_aliasing)
+    center_res = (np.array(res.shape) / 2).astype("int")
+    sl = [slice(c - int(a.shape[0] / 2), c + int(a.shape[0] / 2)) for c in center_res]
+    res[tuple(sl)] = a[: sl[0].stop - sl[0].start, : sl[1].stop - sl[1].start]
+    res = gaussian_filter(res, 0.5 * anti_aliasing)
+    return res[::anti_aliasing, ::anti_aliasing]
+
+
+def generate_ring(shape, radius, anti_aliasing=5):
+    """2D ring = difference of two disks (ref util.py:968-972)."""
+    return (generate_disk(shape, radius + 0.5, anti_aliasing)
+            - generate_disk(shape, radius - 0.5, anti_aliasing))
+
+
+def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0,
+                      top_radius_frac=0.18, bottom_radius_frac=0.42, smooth=1.0):
+    """Truncated-cone "foam" phantom with spherical voids.
+
+    Reconstructs the geometry of the reference's cone_256_foam workload
+    (xdesign-built truncated cone, ref simulation/tube_sample_64.py) without
+    the external xdesign package: a vertical truncated cone (axis = Y) of
+    uniform (delta, beta), hollowed by random non-overlapping bubbles.
+
+    Returns ``(grid_delta, grid_beta)`` of shape (size, size, size), float32.
+    """
+    rng = np.random.RandomState(seed)
+    n = size
+    y = np.arange(n)[:, None, None]
+    x = np.arange(n)[None, :, None] - (n - 1) / 2.0
+    z = np.arange(n)[None, None, :] - (n - 1) / 2.0
+    frac = y / (n - 1.0)
+    radius = (top_radius_frac + (bottom_radius_frac - top_radius_frac) * frac) * n
+    body = ((x ** 2 + z ** 2) <= radius ** 2).astype(np.float64)
+    # carve vertical margins so rotation stays inside the FOV
+    margin = int(0.08 * n)
+    body[:margin] = 0
+    body[n - margin:] = 0
+
+    if n_bubbles is None:
+        n_bubbles = max(4, (n // 8) ** 2)
+    voids = np.zeros_like(body)
+    yy, xx, zz = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    for _ in range(n_bubbles):
+        r = rng.uniform(0.02, 0.08) * n
+        cy = rng.uniform(margin + r, n - margin - r)
+        frac_c = cy / (n - 1.0)
+        rad_c = (top_radius_frac + (bottom_radius_frac - top_radius_frac) * frac_c) * n
+        rho = rng.uniform(0, max(rad_c - r, 0.0))
+        ang = rng.uniform(0, 2 * np.pi)
+        cx = (n - 1) / 2.0 + rho * np.cos(ang)
+        cz = (n - 1) / 2.0 + rho * np.sin(ang)
+        voids += ((yy - cy) ** 2 + (xx - cx) ** 2 + (zz - cz) ** 2 <= r ** 2)
+    body = body * (voids == 0)
+    if smooth:
+        body = gaussian_filter(body.astype(np.float64), smooth)
+    return (body * delta).astype(np.float32), (body * beta).astype(np.float32)
+
+
+def adhesin_phantom(size=64, delta=8.7e-7, beta=5.1e-8, seed=0, n_lobes=5, smooth=1.5):
+    """Adhesin-protein-like blob phantom (64^3 class workload).
+
+    A handful of overlapping soft spheres — a stand-in for the reference's
+    ``adhesin/phantom/grid_delta.npy`` blob (the real .npy is one of the
+    repository's missing large blobs). Returns ``(grid_delta, grid_beta)``.
+    """
+    rng = np.random.RandomState(seed)
+    n = size
+    grid = np.zeros((n, n, n))
+    yy, xx, zz = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    c = (n - 1) / 2.0
+    for _ in range(n_lobes):
+        r = rng.uniform(0.10, 0.18) * n
+        off = rng.uniform(-0.15, 0.15, size=3) * n
+        grid += ((yy - c - off[0]) ** 2 + (xx - c - off[1]) ** 2
+                 + (zz - c - off[2]) ** 2 <= r ** 2)
+    grid = gaussian_filter((grid > 0).astype(np.float64), smooth)
+    return (grid * delta).astype(np.float32), (grid * beta).astype(np.float32)

@@ -1,0 +1,88 @@
+"""Probe (incident wavefield) models.
+
+TPU-native rebuild of the probe construction logic that is duplicated inside
+every reference engine (ref tensorflow_recon/fullfield.py:308-351,
+ptychography.py:270-305, util.py:1081-1091).
+
+Probe types: 'plane', 'fixed', 'optimizable', 'gaussian', 'point'
+(spherical/cone-beam probes are unit fields in spherical coordinates).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.fresnel import get_kernel
+
+__all__ = ["mag_phase_to_real_imag", "real_imag_to_mag_phase",
+           "gaussian_probe", "build_probe", "create_probe_initial_guess"]
+
+
+def mag_phase_to_real_imag(mag, phase):
+    """(ref util.py:1075-1078)."""
+    a = np.asarray(mag) * np.exp(1j * np.asarray(phase))
+    return a.real, a.imag
+
+
+def real_imag_to_mag_phase(realpart, imagpart):
+    """(ref util.py:1069-1072)."""
+    a = np.asarray(realpart) + 1j * np.asarray(imagpart)
+    return np.abs(a), np.angle(a)
+
+
+def gaussian_probe(shape, probe_mag_sigma, probe_phase_sigma, probe_phase_max):
+    """Gaussian-envelope probe (ref fullfield.py:337-349)."""
+    py = np.arange(shape[0]) - (shape[0] - 1.0) / 2
+    px = np.arange(shape[1]) - (shape[1] - 1.0) / 2
+    pxx, pyy = np.meshgrid(px, py)
+    probe_mag = np.exp(-(pxx ** 2 + pyy ** 2) / (2 * probe_mag_sigma ** 2))
+    probe_phase = probe_phase_max * np.exp(-(pxx ** 2 + pyy ** 2) / (2 * probe_phase_sigma ** 2))
+    re, im = mag_phase_to_real_imag(probe_mag, probe_phase)
+    return (re + 1j * im).astype(np.complex64)
+
+
+def create_probe_initial_guess(data, dist_nm, energy_ev, psize_nm):
+    """Back-propagate the mean measured magnitude to seed an optimizable probe.
+
+    ``data`` is the (n_theta, H, W) measured complex/magnitude stack
+    (ref util.py:1081-1091; note the reference's 1.24/energy_ev lambda quirk
+    is preserved — it treats energy_ev as keV there).
+    """
+    wavefront = np.mean(np.abs(np.asarray(data)), axis=0)
+    lmbda_nm = 1.24 / energy_ev
+    h = get_kernel(-dist_nm, lmbda_nm, [psize_nm, psize_nm], wavefront.shape)
+    spec = np.fft.fftshift(np.fft.fft2(wavefront)) * h
+    return np.fft.ifft2(np.fft.ifftshift(spec)).astype(np.complex64)
+
+
+def build_probe(probe_type, shape, probe_initial=None, pupil_function=None,
+                data=None, back_prop_nm=None, energy_ev=None, psize_nm=None,
+                **kwargs):
+    """Construct the initial complex probe for a given probe_type.
+
+    Returns a complex64 (H, W) array. For 'optimizable' this is the *initial*
+    value; the engine registers it as a trainable parameter.
+    (ref fullfield.py:308-351.)
+    """
+    if probe_type in ("plane", "point"):
+        probe = np.ones(shape, dtype=np.complex64)
+    elif probe_type == "fixed":
+        probe_mag, probe_phase = probe_initial
+        re, im = mag_phase_to_real_imag(probe_mag, probe_phase)
+        probe = (re + 1j * im).astype(np.complex64)
+    elif probe_type == "optimizable":
+        if probe_initial is not None:
+            probe_mag, probe_phase = probe_initial
+            re, im = mag_phase_to_real_imag(probe_mag, probe_phase)
+            probe = (re + 1j * im).astype(np.complex64)
+        else:
+            probe = create_probe_initial_guess(data, back_prop_nm, energy_ev, psize_nm)
+    elif probe_type == "gaussian":
+        probe = gaussian_probe(shape, kwargs["probe_mag_sigma"],
+                               kwargs["probe_phase_sigma"], kwargs["probe_phase_max"])
+    else:
+        raise ValueError(
+            "Invalid probe type. Choose from 'plane', 'fixed', 'optimizable', "
+            "'gaussian', 'point'.")
+    if pupil_function is not None:
+        probe = probe * np.asarray(pupil_function)
+    return jnp.asarray(probe)

@@ -1,0 +1,96 @@
+"""Ptycho-tomography forward model.
+
+TPU-native rebuild of the ptychographic ``rotate_and_project``
+(ref tensorflow_recon/ptychography.py:37-97, cnn_propagator/ptychography.py:30-81).
+
+Static-shape redesign: the reference pads the rotated object with Python-side
+``if`` logic and slices probe windows in a Python loop (graph-unrolled). Here
+the pad amounts are computed once on the host from the full position set
+(they are data-independent), and window extraction is a vmapped
+``lax.dynamic_slice`` — one compiled program for any minibatch of positions.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.rotate import rotate_volume
+from ..ops.multislice import multislice_propagate_batch, multislice_propagate_fd
+
+__all__ = ["compute_pad_arr", "extract_patches", "ptycho_forward", "ptycho_loss"]
+
+
+def compute_pad_arr(probe_pos, probe_size, obj_size):
+    """Static padding needed so every probe window fits in the object.
+
+    (ref ptychography.py:45-61.) Returns a (2, 2) int array of
+    ((top, bottom), (left, right)) pad lengths for the (Y, X) axes.
+    """
+    probe_pos = np.asarray(probe_pos)
+    half = (np.asarray(probe_size) / 2).astype(int)
+    pad_arr = np.zeros((2, 2), dtype=int)
+    if probe_pos[:, 0].min() - half[0] < 0:
+        pad_arr[0, 0] = half[0] - probe_pos[:, 0].min()
+    if probe_pos[:, 0].max() + half[0] > obj_size[0]:
+        pad_arr[0, 1] = probe_pos[:, 0].max() + half[0] - obj_size[0]
+    if probe_pos[:, 1].min() - half[1] < 0:
+        pad_arr[1, 0] = half[1] - probe_pos[:, 1].min()
+    if probe_pos[:, 1].max() + half[1] > obj_size[1]:
+        # faithful to the reference's use of half[0] here (ref ptychography.py:59)
+        pad_arr[1, 1] = probe_pos[:, 1].max() + half[0] - obj_size[1]
+    return pad_arr
+
+
+def extract_patches(vol, pos_batch, probe_size, pad_arr):
+    """Gather probe-sized (py, px, Z) windows at a batch of (y, x) positions.
+
+    ``vol`` is the already-padded rotated volume; positions are raw probe
+    coordinates (pad offset applied here). vmapped ``lax.dynamic_slice`` —
+    shapes static, start indices traced.
+    """
+    half = (np.asarray(probe_size) / 2).astype(int)
+    off = np.array([pad_arr[0, 0] - half[0], pad_arr[1, 0] - half[1]], dtype=np.int32)
+
+    def one(pos):
+        start = (pos[0] + off[0], pos[1] + off[1], 0)
+        return jax.lax.dynamic_slice(vol, start,
+                                     (probe_size[0], probe_size[1], vol.shape[2]))
+
+    return jax.vmap(one)(jnp.asarray(pos_batch, jnp.int32))
+
+
+def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
+                   energy_ev, psize_cm, probe_size, pad_arr, h=None,
+                   probe_mask=None, free_prop_cm="inf",
+                   forward_algorithm="fresnel", remat=True):
+    """Exit waves for one angle and a minibatch of probe positions.
+
+    Rotate -> pad (static) -> window gather -> multislice -> far field
+    (ref ptychography.py:37-94). Returns (n_pos, py, px) complex64 fields.
+    """
+    delta_rot = rotate_volume(obj_delta, theta)
+    beta_rot = rotate_volume(obj_beta, theta)
+    pad = ((int(pad_arr[0, 0]), int(pad_arr[0, 1])),
+           (int(pad_arr[1, 0]), int(pad_arr[1, 1])), (0, 0))
+    delta_rot = jnp.pad(delta_rot, pad)
+    beta_rot = jnp.pad(beta_rot, pad)
+    delta_patches = extract_patches(delta_rot, pos_batch, probe_size, pad_arr)
+    beta_patches = extract_patches(beta_rot, pos_batch, probe_size, pad_arr)
+    if forward_algorithm == "fresnel":
+        exiting = multislice_propagate_batch(
+            delta_patches, beta_patches, probe, energy_ev, psize_cm, h=h,
+            free_prop_cm=free_prop_cm, remat=remat)
+    elif forward_algorithm == "fd":
+        exiting = multislice_propagate_fd(
+            delta_patches, beta_patches, probe, energy_ev, psize_cm,
+            free_prop_cm=free_prop_cm, remat=remat)
+    else:
+        raise ValueError("forward_algorithm must be 'fresnel' or 'fd'")
+    if probe_mask is not None:
+        exiting = exiting * probe_mask
+    return exiting
+
+
+def ptycho_loss(exiting_batch, data_mag_batch, n_pos):
+    """Magnitude MSE scaled by total position count (ref ptychography.py:94)."""
+    return jnp.mean((jnp.abs(exiting_batch) - data_mag_batch) ** 2) * n_pos

@@ -1,0 +1,228 @@
+"""Multislice wave propagation through a voxelized object (the hot path).
+
+TPU-native rebuild of the reference multislice propagators
+(ref: tensorflow_recon/util.py:360-579, tensorflow_recon/npfuncs.py:16-63).
+
+Physics: a probe wavefield is pushed through the object slice by slice.
+Per slice: refractive modulation ``psi *= exp(i k delta dz) * exp(-k beta dz)``
+followed by free-space Fresnel propagation by one slice thickness
+(FFT -> multiply by transfer function H -> IFFT).
+
+TPU-first design decisions
+--------------------------
+* The slice loop is a ``lax.scan`` (replacing ``tf.while_loop``,
+  ref util.py:465-483): XLA compiles one fused slice-step and rolls it.
+* The fftshift/ifftshift pair around the kernel multiply (ref util.py:401)
+  is folded into the (host-precomputed, float64-accurate) kernel once —
+  see :func:`beyond_dof_tpu.ops.fresnel.ifftshift2`. The compiled loop body is
+  exactly modulate -> FFT -> multiply -> IFFT.
+* ``remat='slice'`` rematerializes each slice step in the backward pass so AD
+  through hundreds of slices stores only the per-slice carry (one wavefield)
+  instead of every FFT intermediate. The reference never solved this (TF1
+  kept the whole graph).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import PI
+from .fresnel import get_kernel, get_kernel_ir, ifftshift2
+
+__all__ = [
+    "modulate",
+    "multislice_propagate_batch",
+    "multislice_propagate_fd",
+    "free_propagate_paraxial",
+]
+
+
+def modulate(wavefront, delta_slice, beta_slice, k):
+    """Refractive modulation ``psi * exp(i k delta) * exp(-k beta)``.
+
+    ``k = 2 pi dz / lambda`` (ref util.py:462,470). Computed as a single
+    complex exponential; XLA fuses this with the surrounding FFTs.
+    """
+    c = jnp.exp(jax.lax.complex(-k * beta_slice, k * delta_slice))
+    return wavefront * c
+
+
+def _free_space_final(wavefront, free_prop_cm, lmbda_nm, voxel_nm, grid_shape,
+                      size_nm, algorithm="TF"):
+    """Final sample-to-detector free-space step (ref util.py:490-508)."""
+    if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+        return jnp.fft.fftshift(jnp.fft.fft2(wavefront), axes=(-2, -1))
+    dist_nm = free_prop_cm * 1e7
+    if algorithm == "auto":
+        mean_voxel_nm = np.prod(voxel_nm) ** (1.0 / 3)
+        l = np.prod(size_nm) ** (1.0 / 3)
+        crit_samp = lmbda_nm * dist_nm / l
+        algorithm = "TF" if mean_voxel_nm > crit_samp else "IR"
+    if algorithm == "TF":
+        h = get_kernel(dist_nm, lmbda_nm, voxel_nm, grid_shape)
+    else:
+        h = get_kernel_ir(dist_nm, lmbda_nm, voxel_nm, grid_shape)
+    h_if = jnp.asarray(ifftshift2(h))
+    return jnp.fft.ifft2(jnp.fft.fft2(wavefront) * h_if)
+
+
+@partial(jax.jit, static_argnames=("free_prop_cm", "propagate_last", "remat",
+                                   "free_prop_algorithm", "energy_ev", "psize_cm"))
+def _multislice_core(grid_delta, grid_beta, probe, h_if,
+                     energy_ev, psize_cm, free_prop_cm,
+                     propagate_last, remat, free_prop_algorithm):
+    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = voxel_nm[-1]
+    size_nm = np.array([dim_y, dim_x, n_slice]) * voxel_nm
+    k = np.float32(2.0 * PI * delta_nm / lmbda_nm)
+
+    wavefront = jnp.broadcast_to(probe.astype(jnp.complex64), (batch, dim_y, dim_x))
+
+    # (B, Y, X, Z) -> (Z, B, Y, X) so the scan sweeps the leading axis.
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+
+    def step_prop(w, slices):
+        d, b = slices
+        w = modulate(w, d, b, k)
+        w = jnp.fft.ifft2(jnp.fft.fft2(w) * h_if)
+        return w, None
+
+    def step_mod(w, slices):
+        d, b = slices
+        return modulate(w, d, b, k), None
+
+    if remat:
+        step_prop = jax.checkpoint(step_prop)
+
+    if n_slice == 1:
+        wavefront, _ = step_mod(wavefront, (delta_z[0], beta_z[0]))
+    elif propagate_last:
+        wavefront, _ = jax.lax.scan(step_prop, wavefront, (delta_z, beta_z))
+    else:
+        # NumPy-twin convention: no propagation after the last slice
+        # (ref npfuncs.py:40-41).
+        wavefront, _ = jax.lax.scan(step_prop, wavefront, (delta_z[:-1], beta_z[:-1]))
+        wavefront, _ = step_mod(wavefront, (delta_z[-1], beta_z[-1]))
+
+    if free_prop_cm is not None:
+        wavefront = _free_space_final(wavefront, free_prop_cm, lmbda_nm, voxel_nm,
+                                      (dim_y, dim_x), size_nm, free_prop_algorithm)
+    return wavefront
+
+
+def multislice_propagate_batch(grid_delta, grid_beta, probe, energy_ev, psize_cm,
+                               h=None, free_prop_cm=None, propagate_last=True,
+                               remat=True, free_prop_algorithm="TF"):
+    """Batched planar multislice propagation.
+
+    Parameters
+    ----------
+    grid_delta, grid_beta : (B, Y, X, Z) float arrays
+        Refractive-index decrements delta and absorption indices beta.
+    probe : complex (Y, X) or (B, Y, X)
+        Incident wavefield.
+    h : optional precomputed fftshift-centered transfer kernel (Y, X);
+        built from ``get_kernel`` when omitted (ref util.py:459-461).
+    free_prop_cm : None | float | 'inf'
+        Optional sample-to-detector free-space distance (ref util.py:490-508).
+    propagate_last : bool
+        True matches the TF engines (propagate after every slice,
+        ref util.py:465-483); False matches the NumPy data-generation twin
+        (skip propagation after the final slice, ref npfuncs.py:40-41).
+    remat : bool
+        Rematerialize slice steps in the backward pass (memory O(n_slice)
+        wavefields -> O(n_slice) carries only).
+
+    Returns
+    -------
+    (B, Y, X) complex64 exit (or detector-plane) wavefield.
+    """
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    probe = jnp.asarray(probe)
+    if probe.ndim == 2:
+        probe = probe[None]
+    dim_y, dim_x = grid_delta.shape[1:3]
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    if h is None:
+        h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
+    h_if = jnp.asarray(ifftshift2(np.asarray(h)))
+    if isinstance(free_prop_cm, (np.floating, np.integer)):
+        free_prop_cm = float(free_prop_cm)
+    return _multislice_core(grid_delta, grid_beta, probe, h_if,
+                            float(energy_ev), float(psize_cm), free_prop_cm,
+                            bool(propagate_last), bool(remat), free_prop_algorithm)
+
+
+def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
+                            free_prop_cm=None, remat=True, free_prop_algorithm="TF"):
+    """Finite-difference beam-propagation-method multislice variant.
+
+    Per slice (ref tensorflow_recon/util.py:511-579):
+      n = 1 - delta - i beta
+      lap = conv(psi, [[0,-1,0],[-1,4,-1],[0,-1,0]]) / (dy*dx)   (pad with 1)
+      dpsi/dz = lap / (2 i k n) - i k (n - 1) psi
+      psi += dpsi/dz * dz
+    The 5-point stencil is expressed with shifted adds (VPU-friendly; no conv
+    op needed) and pads with the unit background field like the reference.
+    """
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    probe = jnp.asarray(probe)
+    if probe.ndim == 2:
+        probe = probe[None]
+    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = voxel_nm[-1]
+    size_nm = np.array([dim_y, dim_x, n_slice]) * voxel_nm
+    k = np.complex64(2.0 * PI * delta_nm / lmbda_nm)
+    inv_area = np.float32(1.0 / (voxel_nm[0] * voxel_nm[1]))
+
+    wavefront = jnp.broadcast_to(probe.astype(jnp.complex64), (batch, dim_y, dim_x))
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+
+    def laplacian(w):
+        wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), constant_values=1.0 + 0.0j)
+        return (4.0 * wp[:, 1:-1, 1:-1]
+                - wp[:, :-2, 1:-1] - wp[:, 2:, 1:-1]
+                - wp[:, 1:-1, :-2] - wp[:, 1:-1, 2:]) * inv_area
+
+    def step(w, slices):
+        d, b = slices
+        n = 1.0 - d.astype(jnp.complex64) - 1j * b.astype(jnp.complex64)
+        dudz = laplacian(w) / (2j * k * n) - 1j * k * (n - 1.0) * w
+        return w + dudz * delta_nm, None
+
+    if remat:
+        step = jax.checkpoint(step)
+    wavefront, _ = jax.lax.scan(step, wavefront, (delta_z, beta_z))
+
+    if free_prop_cm is not None:
+        wavefront = _free_space_final(wavefront, free_prop_cm, lmbda_nm, voxel_nm,
+                                      (dim_y, dim_x), size_nm, free_prop_algorithm)
+    return wavefront
+
+
+def free_propagate_paraxial(wavefront, dist_cm, r_cm, lmbda_nm, psize_cm, h=None):
+    """Fresnel-scaling (magnification) free-space step for cone beams.
+
+    Propagates by the effective distance ``dist/m`` with magnification
+    ``m = (dist + r)/r`` (ref tensorflow_recon/util.py:347-357).
+    Returns ``(wavefront, m)``.
+    """
+    m = (dist_cm + r_cm) / r_cm
+    dist_nm = dist_cm * 1.0e7
+    dist_eff_nm = dist_nm / m
+    psize_nm = psize_cm * 1.0e7
+    if h is None:
+        h = get_kernel(dist_eff_nm, lmbda_nm, [psize_nm, psize_nm], wavefront.shape[-2:])
+    h_if = jnp.asarray(ifftshift2(np.asarray(h)))
+    return jnp.fft.ifft2(jnp.fft.fft2(wavefront) * h_if), m

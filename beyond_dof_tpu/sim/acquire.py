@@ -1,0 +1,155 @@
+"""Forward data simulation: full-field and ptychographic acquisition + noise.
+
+TPU-native rebuild of the reference simulators
+(ref: tensorflow_recon/simulation.py:17-386, create_noisy_data.py:20-89).
+
+The jitted forward models from :mod:`beyond_dof_tpu.models` are batched over
+angles on device; only the HDF5/TIFF writes stay on the host.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import PI
+from ..models.fullfield import rotate_and_project_batch
+from ..models.ptycho import compute_pad_arr, ptycho_forward
+from ..models.probe import build_probe
+from ..ops.image import circ_mask, gaussian_filter_nd
+from ..io.exchange import write_exchange_data
+from ..io import tiff
+
+__all__ = ["create_fullfield_data", "create_ptychography_data",
+           "add_poisson_noise_fullfield", "add_poisson_noise_ptycho",
+           "grid_probe_positions"]
+
+
+def create_fullfield_data(grid_delta, grid_beta, energy_ev, psize_cm, free_prop_cm,
+                          n_theta, save_folder=None, fname=None, batch_size=1,
+                          probe_type="plane", wavefront_initial=None,
+                          theta_st=0, theta_end=2 * PI, monitor_output=False,
+                          propagate_last=False, **kwargs):
+    """Simulate a full-field holo-tomography dataset.
+
+    Matches ``create_fullfield_data_numpy`` (ref simulation.py:80-161):
+    per angle, rotate the phantom, multislice-propagate (NumPy-twin
+    convention: no propagation after the last slice, hence
+    ``propagate_last=False``), free-space propagate to the detector, and
+    store the complex detector wavefield (n_theta, Y, X).
+
+    Returns the data array; writes ``exchange/data`` if fname given.
+    """
+    grid_delta = np.asarray(grid_delta)
+    img_dim = grid_delta.shape
+    probe = _sim_probe(probe_type, img_dim[:2], wavefront_initial, kwargs)
+
+    theta_ls = -np.linspace(theta_st, theta_end, n_theta)
+    data = np.empty((n_theta, img_dim[0], img_dim[1]), dtype=np.complex64)
+    for i0 in range(0, n_theta, batch_size):
+        th = jnp.asarray(theta_ls[i0:i0 + batch_size], jnp.float32)
+        out = rotate_and_project_batch(
+            jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, probe,
+            energy_ev, psize_cm, free_prop_cm=free_prop_cm,
+            propagate_last=propagate_last, remat=False)
+        data[i0:i0 + th.shape[0]] = np.asarray(out)
+        if monitor_output and save_folder is not None:
+            tiff.write_tiff(np.abs(np.asarray(out)),
+                            os.path.join(save_folder, "monitor_output", "prj_%d" % i0))
+    if fname is not None:
+        write_exchange_data(os.path.join(save_folder or ".", fname), data)
+    return data
+
+
+def _sim_probe(probe_type, shape, wavefront_initial, kwargs):
+    if probe_type == "fixed":
+        return build_probe("fixed", shape, probe_initial=wavefront_initial)
+    return build_probe(probe_type, shape, **kwargs)
+
+
+def grid_probe_positions(obj_size, probe_size, spacing):
+    """Regular grid of probe positions covering the object (ref create_ptycho_data.py)."""
+    ys = np.arange(probe_size[0] // 2, obj_size[0] - probe_size[0] // 2 + 1, spacing)
+    xs = np.arange(probe_size[1] // 2, obj_size[1] - probe_size[1] // 2 + 1, spacing)
+    return np.array([(y, x) for y in ys for x in xs], dtype=int)
+
+
+def create_ptychography_data(grid_delta, grid_beta, energy_ev, psize_cm, n_theta,
+                             probe_pos, probe_size=(72, 72), save_folder=None,
+                             fname=None, probe_type="gaussian",
+                             wavefront_initial=None, theta_st=0, theta_end=2 * PI,
+                             probe_circ_mask=0.9, n_dp_batch=20, **kwargs):
+    """Simulate a ptycho-tomography dataset (ref simulation.py:164-386).
+
+    Output shape (n_theta, n_pos, probe_h, probe_w) complex64 far-field
+    wavefields. Returns the array; writes ``exchange/data`` if fname given.
+    """
+    grid_delta = np.asarray(grid_delta)
+    obj_size = grid_delta.shape
+    probe_pos = np.asarray(probe_pos, dtype=int)
+    n_pos = len(probe_pos)
+    pad_arr = compute_pad_arr(probe_pos, probe_size, obj_size)
+    probe = _sim_probe(probe_type, probe_size, wavefront_initial, kwargs)
+
+    probe_mask = None
+    if probe_circ_mask is not None:
+        mask2d = circ_mask(probe_size, probe_circ_mask)
+        probe = probe * jnp.asarray(mask2d)
+        probe_mask = gaussian_filter_nd(mask2d, 3.0).astype(jnp.complex64)
+
+    theta_ls = -np.linspace(theta_st, theta_end, n_theta)
+    data = np.empty((n_theta, n_pos, probe_size[0], probe_size[1]), dtype=np.complex64)
+    for i, theta in enumerate(theta_ls):
+        for k0 in range(0, n_pos, n_dp_batch):
+            pos_batch = probe_pos[k0:k0 + n_dp_batch]
+            out = ptycho_forward(
+                jnp.asarray(grid_delta), jnp.asarray(grid_beta),
+                jnp.float32(theta), pos_batch, probe, energy_ev, psize_cm,
+                probe_size, pad_arr, probe_mask=probe_mask,
+                free_prop_cm="inf", remat=False)
+            data[i, k0:k0 + len(pos_batch)] = np.asarray(out)
+    if fname is not None:
+        write_exchange_data(os.path.join(save_folder or ".", fname), data)
+    return data
+
+
+def add_poisson_noise_fullfield(data, n_photons_total, n_sample_pixel, rng=None):
+    """Photon-budget-scaled Poisson noise for full-field data.
+
+    ``n_ph = n_photons_total / n_sample_pixel`` photons per sample pixel
+    (ref create_noisy_data.py:20-23, 74-87). Returns (noisy_data, mean_snr);
+    noisy magnitudes are stored as complex64 like the reference.
+    """
+    rng = rng or np.random.RandomState()
+    n_ph = float(n_photons_total) / n_sample_pixel
+    out = np.empty_like(data, dtype=np.complex64)
+    snr_ls = []
+    for i in range(data.shape[0]):
+        inten = np.abs(data[i]) ** 2
+        noisy = rng.poisson(inten * n_ph) / n_ph
+        snr_ls.append(np.var(inten) / np.var(noisy - inten))
+        out[i] = np.sqrt(noisy).astype(np.complex64)
+    return out, float(np.mean(snr_ls))
+
+
+def add_poisson_noise_ptycho(data, n_photons_total, n_sample_pixel, grid_size,
+                             rng=None):
+    """Poisson noise for ptycho spots with per-spot photon budgeting.
+
+    (ref create_noisy_data.py:45-72.) Returns (noisy_data, mean_snr).
+    """
+    rng = rng or np.random.RandomState()
+    n_ph = float(n_photons_total) / n_sample_pixel
+    n_ex = n_ph * n_sample_pixel
+    n_ex *= float(grid_size) / n_sample_pixel
+    n_ex /= data.shape[1]
+    out = np.empty_like(data, dtype=np.complex64)
+    snr_ls = []
+    for i in range(data.shape[0]):
+        for j in range(data.shape[1]):
+            inten = np.abs(data[i, j]) ** 2
+            multiplier = n_ex / np.sum(inten)
+            noisy = rng.poisson(inten * multiplier) / multiplier
+            snr_ls.append(np.var(inten) / np.var(noisy - inten))
+            out[i, j] = np.sqrt(noisy).astype(np.complex64)
+    return out, float(np.mean(snr_ls))

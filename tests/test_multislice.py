@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beyond_dof_tpu.ops.multislice import (multislice_propagate_batch,
+                                           multislice_propagate_fd)
+from beyond_dof_tpu.models.phantom import adhesin_phantom, cone_foam_phantom
+from reference_impl import np_multislice
+
+
+def _phantom(n=24):
+    gd, gb = adhesin_phantom(n)
+    return gd[None], gb[None]
+
+
+def test_multislice_matches_numpy_reference():
+    gd, gb = _phantom()
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    ref = np_multislice(gd, gb, probe, 800, 0.67e-7)
+    out = np.asarray(multislice_propagate_batch(gd, gb, probe, 800, 0.67e-7,
+                                                propagate_last=False))
+    assert np.abs(out - ref).max() < 2e-6
+
+
+def test_multislice_propagate_last_convention():
+    gd, gb = _phantom()
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    ref = np_multislice(gd, gb, probe, 800, 0.67e-7, propagate_last=True)
+    out = np.asarray(multislice_propagate_batch(gd, gb, probe, 800, 0.67e-7,
+                                                propagate_last=True))
+    assert np.abs(out - ref).max() < 2e-6
+
+
+def test_multislice_free_prop_finite_and_inf():
+    gd, gb = _phantom()
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    for fp in [1e-4, "inf"]:
+        ref = np_multislice(gd, gb, probe, 800, 0.67e-7, free_prop_cm=fp)
+        out = np.asarray(multislice_propagate_batch(
+            gd, gb, probe, 800, 0.67e-7, propagate_last=False, free_prop_cm=fp))
+        scale = max(np.abs(ref).max(), 1.0)
+        assert np.abs(out - ref).max() / scale < 1e-5
+
+
+def test_multislice_energy_conservation_phase_object():
+    gd, gb = _phantom()
+    gb = np.zeros_like(gb)  # pure phase: propagation is unitary
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    out = np.asarray(multislice_propagate_batch(gd, gb, probe, 800, 0.67e-7))
+    e_in = np.prod(gd.shape[1:3])
+    e_out = np.sum(np.abs(out) ** 2)
+    assert abs(e_out - e_in) / e_in < 1e-4
+
+
+def test_multislice_batched_consistency():
+    gd, gb = _phantom()
+    gd2 = np.concatenate([gd, gd * 0.5])
+    gb2 = np.concatenate([gb, gb * 0.5])
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    out = np.asarray(multislice_propagate_batch(gd2, gb2, probe, 800, 0.67e-7))
+    out_single = np.asarray(multislice_propagate_batch(gd, gb, probe, 800, 0.67e-7))
+    assert np.abs(out[0] - out_single[0]).max() < 1e-6
+
+
+def test_multislice_gradients_with_and_without_remat_agree():
+    gd, gb = _phantom(16)
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+
+    def make_loss(remat):
+        def loss(d):
+            out = multislice_propagate_batch(d, gb, probe, 800, 0.67e-7,
+                                             remat=remat)
+            return jnp.sum(jnp.abs(out) ** 2)
+        return loss
+
+    g1 = jax.grad(make_loss(True))(jnp.asarray(gd))
+    g2 = jax.grad(make_loss(False))(jnp.asarray(gd))
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-8)
+    assert float(jnp.linalg.norm(g1)) > 0
+
+
+def test_fd_bpm_close_to_fresnel_for_weak_object():
+    """The finite-difference BPM should roughly agree with Fresnel multislice
+    for a weak phase object (both solve the same paraxial equation)."""
+    gd, gb = cone_foam_phantom(16, delta=1e-8, beta=1e-10)
+    gd, gb = gd[None], gb[None]
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    out_fr = np.asarray(multislice_propagate_batch(gd, gb, probe, 5000, 1e-7))
+    out_fd = np.asarray(multislice_propagate_fd(gd, gb, probe, 5000, 1e-7))
+    assert np.abs(out_fd).max() < 10  # stable
+    # magnitudes stay near unity for both
+    assert np.abs(np.abs(out_fr).mean() - 1) < 0.1
+    assert np.abs(np.abs(out_fd).mean() - 1) < 0.1

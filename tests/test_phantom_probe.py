@@ -1,0 +1,79 @@
+import numpy as np
+import jax.numpy as jnp
+
+from beyond_dof_tpu.models.phantom import (generate_sphere, generate_disk,
+                                           generate_shell, generate_ring,
+                                           cone_foam_phantom, adhesin_phantom)
+from beyond_dof_tpu.models.probe import (build_probe, gaussian_probe,
+                                         mag_phase_to_real_imag,
+                                         real_imag_to_mag_phase,
+                                         create_probe_initial_guess)
+
+
+def test_generate_sphere_volume():
+    s = generate_sphere((32, 32, 32), 8, anti_aliasing=2)
+    vol = s.sum()
+    expected = 4 / 3 * np.pi * 8 ** 3
+    assert abs(vol - expected) / expected < 0.15
+    assert s.shape == (32, 32, 32)
+
+
+def test_generate_disk_and_ring():
+    d = generate_disk((32, 32), 8, anti_aliasing=2)
+    assert abs(d.sum() - np.pi * 64) / (np.pi * 64) < 0.15
+    r = generate_ring((32, 32), 8, anti_aliasing=2)
+    assert r.sum() > 0
+    assert r.shape == (32, 32)
+
+
+def test_shell_is_difference_of_spheres():
+    sh = generate_shell((24, 24, 24), 6, anti_aliasing=2)
+    assert sh.min() > -1e-6
+    assert sh.sum() > 0
+
+
+def test_cone_foam_phantom_properties():
+    gd, gb = cone_foam_phantom(32)
+    assert gd.shape == (32, 32, 32)
+    assert gd.max() <= 8.7e-7 * 1.01
+    assert gd.sum() > 0
+    # cone widens towards the bottom (larger cross-section)
+    top = (gd[8] > 1e-9).sum()
+    bottom = (gd[24] > 1e-9).sum()
+    assert bottom > top
+
+
+def test_adhesin_phantom_reproducible():
+    a1, b1 = adhesin_phantom(16, seed=3)
+    a2, b2 = adhesin_phantom(16, seed=3)
+    assert np.array_equal(a1, a2)
+    assert (b1 > 0).any()
+
+
+def test_mag_phase_round_trip():
+    mag = np.random.rand(8, 8) + 0.5
+    phase = np.random.rand(8, 8) - 0.5
+    re, im = mag_phase_to_real_imag(mag, phase)
+    m2, p2 = real_imag_to_mag_phase(re, im)
+    assert np.allclose(m2, mag, atol=1e-6)
+    assert np.allclose(p2, phase, atol=1e-6)
+
+
+def test_build_probe_types():
+    p = build_probe("plane", (16, 16))
+    assert np.abs(np.asarray(p) - 1).max() == 0
+    g = build_probe("gaussian", (16, 16), probe_mag_sigma=3,
+                    probe_phase_sigma=3, probe_phase_max=0.5)
+    g = np.asarray(g)
+    assert np.abs(g[8, 8]) > np.abs(g[0, 0])
+    f = build_probe("fixed", (8, 8), probe_initial=(np.ones((8, 8)),
+                                                    np.zeros((8, 8))))
+    assert np.abs(np.asarray(f) - 1).max() < 1e-6
+
+
+def test_probe_initial_guess_backprop():
+    rng = np.random.RandomState(0)
+    data = (rng.rand(5, 16, 16) + 0.5).astype(np.complex64)
+    probe = create_probe_initial_guess(data, 100.0, 5.0, 1.0)
+    assert probe.shape == (16, 16)
+    assert np.isfinite(probe).all()

@@ -1,0 +1,78 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beyond_dof_tpu.ops.rotate import (rotate_volume, rotation_lookup,
+                                       apply_rotation_lookup)
+
+
+def _vol(n=16):
+    rng = np.random.RandomState(0)
+    return rng.rand(n, n, n).astype(np.float32)
+
+
+def _smooth_vol(n=24):
+    """Band-limited volume: interpolation-based rotations only round-trip
+    for smooth fields."""
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(0)
+    return gaussian_filter(rng.rand(n, n, n), 2.0).astype(np.float32)
+
+
+def test_rotate_zero_is_identity():
+    v = _vol()
+    out = np.asarray(rotate_volume(jnp.asarray(v), 0.0))
+    assert np.abs(out - v).max() < 1e-5
+
+
+def test_rotate_round_trip():
+    v = _smooth_vol(24)
+    th = 0.7
+    out = rotate_volume(rotate_volume(jnp.asarray(v), th), -th)
+    # interior region should round-trip (edges lose mass to cval)
+    c = slice(6, 18)
+    assert np.abs(np.asarray(out)[:, c, c] - v[:, c, c]).mean() < 0.02
+
+
+def test_rotate_90_matches_transpose():
+    v = _vol(17)  # odd size: exact center pixel
+    out = np.asarray(rotate_volume(jnp.asarray(v), np.pi / 2))
+    # 90-degree rotation about the (X,Z) center maps axes exactly
+    ref = np.rot90(v, k=1, axes=(1, 2))
+    # sign/direction convention: accept either orientation
+    err1 = np.abs(out - ref)[:, 2:-2, 2:-2].mean()
+    ref2 = np.rot90(v, k=-1, axes=(1, 2))
+    err2 = np.abs(out - ref2)[:, 2:-2, 2:-2].mean()
+    assert min(err1, err2) < 1e-3
+
+
+def test_rotate_is_differentiable():
+    v = jnp.asarray(_vol())
+
+    def f(vol):
+        return jnp.sum(rotate_volume(vol, 0.3) ** 2)
+
+    g = jax.grad(f)(v)
+    assert float(jnp.linalg.norm(g)) > 0
+
+
+def test_rotation_lookup_identity_angle():
+    n = 8
+    inds = rotation_lookup((n, n, n), 5, theta_st=0, theta_end=2 * np.pi)
+    v = _vol(n)
+    out = np.asarray(apply_rotation_lookup(jnp.asarray(v), jnp.asarray(inds[0])))
+    assert np.abs(out - v).max() < 1e-6
+
+
+def test_rotation_lookup_matches_nearest_rotation():
+    n = 24
+    n_theta = 8
+    inds = rotation_lookup((n, n, n), n_theta)
+    thetas = np.linspace(0, 2 * np.pi, n_theta)
+    v = _smooth_vol(n)
+    for i in [1, 3]:
+        out = np.asarray(apply_rotation_lookup(jnp.asarray(v), jnp.asarray(inds[i])))
+        ref = np.asarray(rotate_volume(jnp.asarray(v), thetas[i], order=1))
+        # NN-vs-bilinear: loose agreement in the interior
+        c = slice(6, 18)
+        assert np.abs(out[:, c, c] - ref[:, c, c]).mean() < 0.05
