@@ -1,0 +1,122 @@
+"""Command-line entry points: simulate / reconstruct / benchmark.
+
+The reference has no CLI — each driver script hard-codes parameter dicts and
+is edited by hand (ref tensorflow_recon/reconstruct_fullfield.py:271). Here
+the same presets are exposed through argparse:
+
+    python -m beyond_dof_tpu.cli simulate --preset adhesin --out adhesin.h5
+    python -m beyond_dof_tpu.cli reconstruct --preset adhesin --data adhesin.h5
+    python -m beyond_dof_tpu.cli reconstruct-ptycho --preset adhesin_ptycho ...
+    python -m beyond_dof_tpu.cli benchmark --size 256 --n-slices 256
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_simulate(args):
+    from .configs.presets import FULLFIELD_PRESETS, PTYCHO_PRESETS, make_phantom
+    from .sim.acquire import (create_fullfield_data, create_ptychography_data,
+                              add_poisson_noise_fullfield)
+    if args.ptycho:
+        preset = PTYCHO_PRESETS[args.preset]
+        gd, gb = make_phantom(preset["phantom"])
+        sim = dict(preset["simulate"])
+        if args.n_theta:
+            sim["n_theta"] = args.n_theta
+        data = create_ptychography_data(gd, gb, probe_pos=preset["probe_pos"],
+                                        save_folder=".", fname=args.out, **sim)
+    else:
+        preset = FULLFIELD_PRESETS[args.preset]
+        gd, gb = make_phantom(preset["phantom"])
+        sim = dict(preset["simulate"])
+        n_ph = sim.pop("n_photons_total", None)
+        if args.n_theta:
+            sim["n_theta"] = args.n_theta
+        data = create_fullfield_data(gd, gb, save_folder=".", fname=None, **sim)
+        if n_ph:
+            n_sample_pixel = int(np.count_nonzero(gd > 1e-10))
+            data, mean_snr = add_poisson_noise_fullfield(data, n_ph, n_sample_pixel)
+            print("Average SNR is {}.".format(mean_snr))
+        from .io.exchange import write_exchange_data
+        write_exchange_data(args.out, data)
+    np.save(args.out + ".phantom_delta.npy", gd)
+    np.save(args.out + ".phantom_beta.npy", gb)
+    print("Wrote {} with shape {}".format(args.out, data.shape))
+
+
+def _cmd_reconstruct(args):
+    from .configs.presets import FULLFIELD_PRESETS
+    from .recon.fullfield import reconstruct_fullfield
+    preset = dict(FULLFIELD_PRESETS[args.preset]["reconstruct"])
+    if args.n_epochs is not None:
+        preset["n_epochs"] = args.n_epochs
+    d, b, info = reconstruct_fullfield(fname=args.data, output_folder=args.out,
+                                       **preset)
+    print("Final loss: {}".format(info["loss"][-1]))
+    print("Outputs in {}".format(info["output_folder"]))
+
+
+def _cmd_reconstruct_ptycho(args):
+    from .configs.presets import PTYCHO_PRESETS
+    from .recon.ptycho import reconstruct_ptychography
+    preset = PTYCHO_PRESETS[args.preset]
+    rp = dict(preset["reconstruct"])
+    if args.n_epochs is not None:
+        rp["n_epochs"] = args.n_epochs
+    d, b, info = reconstruct_ptychography(probe_pos=np.array(preset["probe_pos"]),
+                                          fname=args.data, output_folder=args.out,
+                                          minibatch_size=args.minibatch_size,
+                                          **rp)
+    print("Final loss: {}".format(info["loss"][-1]))
+
+
+def _cmd_benchmark(args):
+    from benchmarks.multislice_bench import run_benchmark
+    result = run_benchmark(size=args.size, n_slices=args.n_slices,
+                           batch=args.batch, n_iters=args.iters)
+    print(json.dumps(result))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="beyond_dof_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("simulate", help="generate a dataset from a preset")
+    ps.add_argument("--preset", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--ptycho", action="store_true")
+    ps.add_argument("--n-theta", type=int, default=None)
+    ps.set_defaults(fn=_cmd_simulate)
+
+    pr = sub.add_parser("reconstruct", help="full-field reconstruction")
+    pr.add_argument("--preset", required=True)
+    pr.add_argument("--data", required=True)
+    pr.add_argument("--out", default=None)
+    pr.add_argument("--n-epochs", type=int, default=None)
+    pr.set_defaults(fn=_cmd_reconstruct)
+
+    pp = sub.add_parser("reconstruct-ptycho", help="ptychographic reconstruction")
+    pp.add_argument("--preset", required=True)
+    pp.add_argument("--data", required=True)
+    pp.add_argument("--out", default=None)
+    pp.add_argument("--n-epochs", type=int, default=None)
+    pp.add_argument("--minibatch-size", type=int, default=None)
+    pp.set_defaults(fn=_cmd_reconstruct_ptycho)
+
+    pb = sub.add_parser("benchmark", help="multislice throughput benchmark")
+    pb.add_argument("--size", type=int, default=256)
+    pb.add_argument("--n-slices", type=int, default=256)
+    pb.add_argument("--batch", type=int, default=1)
+    pb.add_argument("--iters", type=int, default=10)
+    pb.set_defaults(fn=_cmd_benchmark)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,191 @@
+"""Experiment parameter presets.
+
+TPU-native rebuild of the reference's driver-script parameter dictionaries
+(ref tensorflow_recon/reconstruct_fullfield.py:19-269,
+reconstruct_ptycho.py:9-221, create_fullfield_data.py, cnn_propagator
+drivers). Same experiment names and hyperparameters; phantom generation
+parameters are included so each preset is self-contained (the reference's
+.npy phantoms are among its missing large blobs).
+"""
+
+import numpy as np
+
+PI = np.pi
+
+# ---------------------------------------------------------------------------
+# Full-field reconstruction presets (ref reconstruct_fullfield.py:19-269)
+# ---------------------------------------------------------------------------
+
+FULLFIELD_PRESETS = {
+    "adhesin": {
+        "phantom": {"kind": "adhesin", "size": 64},
+        "simulate": {"energy_ev": 800, "psize_cm": 0.67e-7, "free_prop_cm": None,
+                     "n_theta": 500, "theta_end": 2 * PI},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 5,
+                        "alpha_d": 1.e-9, "alpha_b": 1.e-10, "gamma": 0,
+                        "learning_rate": 1e-7, "energy_ev": 800,
+                        "psize_cm": 0.67e-7, "minibatch_size": 10,
+                        "n_epochs_mask_release": 200, "shrink_cycle": 9999,
+                        "free_prop_cm": None, "n_batch_per_update": 1,
+                        "multiscale_level": 1, "probe_type": "plane",
+                        "forward_algorithm": "fresnel"},
+    },
+    "cone_256": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,
+                     "n_theta": 500, "theta_end": 2 * PI},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 10,
+                        "alpha_d": 1.5e-8, "alpha_b": 1.5e-9, "gamma": 1e-11,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 10,
+                        "n_epochs_mask_release": 10, "shrink_cycle": None,
+                        "free_prop_cm": 1e-4, "n_batch_per_update": 1,
+                        "multiscale_level": 3, "n_epoch_final_pass": 6,
+                        "probe_type": "plane", "forward_algorithm": "fresnel"},
+    },
+    "cone_256_180": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,
+                     "n_theta": 500, "theta_end": PI},
+        "reconstruct": {"theta_st": 0, "theta_end": PI, "n_epochs": 10,
+                        "alpha_d": 1.5e-8, "alpha_b": 1.5e-9, "gamma": 1e-11,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 10,
+                        "n_epochs_mask_release": 10, "shrink_cycle": None,
+                        "free_prop_cm": 1e-4, "multiscale_level": 3,
+                        "n_epoch_final_pass": 6, "probe_type": "plane",
+                        "forward_algorithm": "fresnel"},
+    },
+    "cone_far": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": "inf",
+                     "n_theta": 500, "theta_end": 2 * PI},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 10,
+                        "alpha_d": 0, "alpha_b": 0, "gamma": 0,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 10,
+                        "n_epochs_mask_release": 10, "shrink_cycle": 1,
+                        "free_prop_cm": "inf", "multiscale_level": 3,
+                        "n_epoch_final_pass": 6, "probe_type": "plane",
+                        "forward_algorithm": "fresnel"},
+    },
+    "2d": {
+        "phantom": {"kind": "cone_foam", "size": 512, "flat": True},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
+                     "free_prop_cm": 1e-4, "n_theta": 1, "theta_end": 0},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
+                        "alpha_d": 0, "alpha_b": 0, "gamma": 1e-11,
+                        "learning_rate": 2e-4, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 1,
+                        "n_epochs_mask_release": 1000, "shrink_cycle": 5,
+                        "free_prop_cm": 1e-4, "multiscale_level": 1,
+                        "probe_type": "plane", "object_type": "phase_only",
+                        "forward_algorithm": "fresnel"},
+    },
+    "2d_cell": {
+        "phantom": {"kind": "cone_foam", "size": 1024, "flat": True},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
+                     "free_prop_cm": 0.00040322580645161285, "n_theta": 1,
+                     "theta_end": 0},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
+                        "alpha_d": 0, "alpha_b": 0, "gamma": 1e-9,
+                        "learning_rate": 4e-3, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 1,
+                        "n_epochs_mask_release": 1000, "shrink_cycle": None,
+                        "free_prop_cm": 0.00040322580645161285,
+                        "multiscale_level": 1, "probe_type": "plane",
+                        "object_type": "phase_only",
+                        "forward_algorithm": "fresnel"},
+    },
+    "cone_noisy": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,
+                     "n_theta": 500, "theta_end": 2 * PI,
+                     "n_photons_total": 1e7},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 10,
+                        "alpha_d": 1.5e-7, "alpha_b": 1.5e-8, "gamma": 5e-8,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 10,
+                        "n_epochs_mask_release": 10, "shrink_cycle": 1,
+                        "free_prop_cm": 1e-4, "multiscale_level": 3,
+                        "n_epoch_final_pass": 6, "probe_type": "plane",
+                        "forward_algorithm": "fresnel"},
+    },
+    "cone_pp": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,
+                     "n_theta": 500, "theta_end": 2 * PI},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 7,
+                        "alpha_d": 1.5e-7, "alpha_b": 1.5e-8, "gamma": 1e-7,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 5,
+                        "shrink_cycle": 1, "free_prop_cm": 1e-4,
+                        "multiscale_level": 3, "n_epoch_final_pass": 6,
+                        "probe_type": "point", "forward_algorithm": "fresnel",
+                        "dist_to_source_cm": 1e-4, "det_psize_cm": 3e-7,
+                        "theta_max": PI / 15, "phi_max": PI / 15},
+    },
+}
+
+# ---------------------------------------------------------------------------
+# Ptychography presets (ref reconstruct_ptycho.py:9-221)
+# ---------------------------------------------------------------------------
+
+PTYCHO_PRESETS = {
+    "adhesin_ptycho": {
+        "phantom": {"kind": "adhesin", "size": 64},
+        "simulate": {"energy_ev": 800, "psize_cm": 0.67e-7, "n_theta": 500,
+                     "theta_end": 2 * PI, "probe_size": (18, 18),
+                     "probe_mag_sigma": 10, "probe_phase_sigma": 10,
+                     "probe_phase_max": 0.5},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 5,
+                        "obj_size": (64, 64, 64), "alpha_d": 1e-9,
+                        "alpha_b": 1e-10, "gamma": 0, "probe_size": (18, 18),
+                        "learning_rate": 1e-7, "energy_ev": 800,
+                        "psize_cm": 0.67e-7, "multiscale_level": 1,
+                        "n_dp_batch": 50, "probe_type": "gaussian",
+                        "probe_mag_sigma": 10, "probe_phase_sigma": 10,
+                        "probe_phase_max": 0.5,
+                        "forward_algorithm": "fresnel",
+                        "object_type": "normal"},
+        "probe_pos": [(y, x) for y in np.linspace(9, 55, 23, dtype=int)
+                      for x in np.linspace(9, 55, 23, dtype=int)],
+    },
+    "cone_ptycho": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "n_theta": 500,
+                     "theta_end": 2 * PI, "probe_size": (72, 72),
+                     "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                     "probe_phase_max": 0.5},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI,
+                        "theta_downsample": 5, "n_epochs": 5,
+                        "obj_size": (256, 256, 256), "alpha_d": 1e-9,
+                        "alpha_b": 1e-10, "gamma": 1e-9,
+                        "probe_size": (72, 72), "learning_rate": 1e-7,
+                        "energy_ev": 5000, "psize_cm": 1.e-7,
+                        "multiscale_level": 1, "n_dp_batch": 20,
+                        "probe_type": "gaussian", "probe_mag_sigma": 6,
+                        "probe_phase_sigma": 6, "probe_phase_max": 0.5,
+                        "forward_algorithm": "fresnel"},
+        "probe_pos": [(y, x) for y in np.arange(23) * 12
+                      for x in np.arange(23) * 12],
+    },
+}
+
+
+def make_phantom(spec):
+    """Instantiate the phantom described by a preset's ``phantom`` block."""
+    from ..models.phantom import adhesin_phantom, cone_foam_phantom
+    kind = spec["kind"]
+    size = spec["size"]
+    if kind == "adhesin":
+        gd, gb = adhesin_phantom(size)
+    elif kind == "cone_foam":
+        gd, gb = cone_foam_phantom(size)
+    else:
+        raise ValueError(kind)
+    if spec.get("flat"):
+        # single-slice 2D workload (ref params_2d / 2d_cell)
+        gd = gd[:, :, size // 2: size // 2 + 1]
+        gb = gb[:, :, size // 2: size // 2 + 1]
+    return gd, gb

@@ -13,9 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rotate import rotate_volume, apply_rotation_lookup
-from ..ops.multislice import multislice_propagate_batch, multislice_propagate_fd
+from ..ops.multislice import (multislice_propagate_batch,
+                              multislice_propagate_batch_split,
+                              multislice_propagate_fd)
 
-__all__ = ["rotate_and_project_batch", "fullfield_loss"]
+__all__ = ["rotate_and_project_batch", "rotate_and_project_batch_split",
+           "fullfield_loss"]
 
 
 def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
@@ -51,6 +54,24 @@ def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
     else:
         raise ValueError("forward_algorithm must be 'fresnel' or 'fd'")
     return exiting
+
+
+def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
+                                   probe_re, probe_im, energy_ev, psize_cm,
+                                   free_prop_cm=None, h=None,
+                                   propagate_last=True, remat=True):
+    """Split-complex forward model: returns (re, im) wavefield pair.
+
+    Complex-dtype-free twin of :func:`rotate_and_project_batch` for TPU
+    backends without complex64 support (rotation is real; the multislice
+    runs through the MXU matmul-DFT path of ops.splitfft).
+    """
+    rot = jax.vmap(lambda th: (rotate_volume(obj_delta, th),
+                               rotate_volume(obj_beta, th)))
+    delta_rot, beta_rot = rot(theta_batch)
+    return multislice_propagate_batch_split(
+        delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm, h=h,
+        free_prop_cm=free_prop_cm, propagate_last=propagate_last, remat=remat)
 
 
 def fullfield_loss(exiting_batch, data_mag_batch):

@@ -211,6 +211,85 @@ def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
     return wavefront
 
 
+def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
+                                     energy_ev, psize_cm, h=None,
+                                     free_prop_cm=None, propagate_last=True,
+                                     remat=True):
+    """Split-complex multislice: identical physics, no complex dtypes.
+
+    For TPU backends without complex64 support (SURVEY §7 hard part; the
+    reference's own split-real trick is ref cnn_propagator/
+    propagation_tf.py:83-105). The wavefield is carried as (re, im) float32
+    and the per-slice Fresnel step runs through the MXU matmul-DFT of
+    :mod:`.splitfft`. Returns ``(re, im)`` of shape (B, Y, X).
+    """
+    from .splitfft import (cfft2_split, cexp_modulation, cmul,
+                           apply_kernel_split)
+
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = voxel_nm[-1]
+    size_nm = np.array([dim_y, dim_x, n_slice]) * voxel_nm
+    k = np.float32(2.0 * PI * delta_nm / lmbda_nm)
+
+    if h is None:
+        h = get_kernel(delta_nm, lmbda_nm, voxel_nm, (dim_y, dim_x))
+    h_if = ifftshift2(np.asarray(h))
+    hr = jnp.asarray(np.real(h_if).astype(np.float32))
+    hi = jnp.asarray(np.imag(h_if).astype(np.float32))
+
+    w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                            (batch, dim_y, dim_x))
+    w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                            (batch, dim_y, dim_x))
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+
+    def step_prop(carry, slices):
+        re, im = carry
+        d, b = slices
+        cr, ci = cexp_modulation(d, b, k)
+        re, im = cmul(re, im, cr, ci)
+        re, im = apply_kernel_split(re, im, hr, hi)
+        return (re, im), None
+
+    def modulate_only(carry, d, b):
+        re, im = carry
+        cr, ci = cexp_modulation(d, b, k)
+        return cmul(re, im, cr, ci)
+
+    if remat:
+        step_prop = jax.checkpoint(step_prop)
+
+    if n_slice == 1:
+        w_re, w_im = modulate_only((w_re, w_im), delta_z[0], beta_z[0])
+    elif propagate_last:
+        (w_re, w_im), _ = jax.lax.scan(step_prop, (w_re, w_im),
+                                       (delta_z, beta_z))
+    else:
+        (w_re, w_im), _ = jax.lax.scan(step_prop, (w_re, w_im),
+                                       (delta_z[:-1], beta_z[:-1]))
+        w_re, w_im = modulate_only((w_re, w_im), delta_z[-1], beta_z[-1])
+
+    if free_prop_cm is not None:
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            w_re, w_im = cfft2_split(w_re, w_im)
+            w_re = jnp.fft.fftshift(w_re, axes=(-2, -1))
+            w_im = jnp.fft.fftshift(w_im, axes=(-2, -1))
+        else:
+            h2 = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                            (dim_y, dim_x))
+            h2_if = ifftshift2(np.asarray(h2))
+            w_re, w_im = apply_kernel_split(
+                w_re, w_im,
+                jnp.asarray(np.real(h2_if).astype(np.float32)),
+                jnp.asarray(np.imag(h2_if).astype(np.float32)))
+    return w_re, w_im
+
+
 def free_propagate_paraxial(wavefront, dist_cm, r_cm, lmbda_nm, psize_cm, h=None):
     """Fresnel-scaling (magnification) free-space step for cone beams.
 

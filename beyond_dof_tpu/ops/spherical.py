@@ -1,0 +1,165 @@
+"""Cone-beam (spherical-wave) propagation path.
+
+TPU-native rebuild of the point-source/cone-beam machinery
+(ref tensorflow_recon/npfuncs.py:66-201, util.py:582-707,
+interpolation.py:8-94). The reference marks parts of this path deprecated
+(ref util.py:586) but it backs the ``probe_type='point'`` workloads
+(params_cone_pp, ref reconstruct_fullfield.py:238-269).
+
+Design: the cartesian->spherical resample and the detector-plane mapping are
+trilinear ``map_coordinates`` gathers (differentiable; replaces both the
+RegularGridInterpolator host code and the 8-corner matrix-solve trilinear
+interpolation of ref interpolation.py:44-94). The per-slice free-space step
+uses the equirectangular kernel of :func:`..ops.fresnel.get_kernel_spherical`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+from ..constants import PI
+from .fresnel import free_propagate_spherical
+
+__all__ = ["cartesian_to_spherical", "multislice_propagate_spherical",
+           "get_wavefront_on_plane"]
+
+
+def _spherical_sample_coords(shape, dist_to_source_nm, psize_nm, theta_max,
+                             phi_max):
+    """Pixel-space source coordinates for the cartesian->spherical gather.
+
+    (ref npfuncs.py:171-199: same geometry, expressed directly in pixel
+    units for map_coordinates.)
+    """
+    s0, s1, s2 = shape
+    theta_mid = (s0 - 1) / 2.0
+    phi_mid = (s1 - 1) / 2.0
+    theta_true = (np.arange(s0) - theta_mid) * (2 * theta_max / (s0 - 1))
+    phi_true = (np.arange(s1) - phi_mid) * (2 * phi_max / (s1 - 1))
+    r_true = np.arange(s2) * psize_nm + dist_to_source_nm
+    phi, theta, r = np.meshgrid(phi_true, theta_true, r_true)
+
+    x = r * np.sin(theta)
+    y = r * np.cos(theta) * np.sin(phi)
+    z = r * np.cos(theta) * np.cos(phi) - dist_to_source_nm
+    # pixel units, origin at the volume center for transverse axes
+    xi = x / psize_nm + theta_mid
+    yi = y / psize_nm + phi_mid
+    zi = z / psize_nm
+    # meshgrid output is (theta, phi, r) ordered (s0, s1, s2) after transpose:
+    coords = np.stack([np.transpose(xi, (1, 0, 2)),
+                       np.transpose(yi, (1, 0, 2)),
+                       np.transpose(zi, (1, 0, 2))])
+    return coords.astype(np.float32)
+
+
+def cartesian_to_spherical(arr, dist_to_source_nm, psize_nm,
+                           theta_max=PI / 18, phi_max=PI / 18):
+    """Resample a (Y, X, Z) cartesian volume onto a (theta, phi, r) grid.
+
+    Trilinear, zero fill outside (ref npfuncs.py:171-201). Differentiable.
+    """
+    coords = _spherical_sample_coords(arr.shape, dist_to_source_nm, psize_nm,
+                                      theta_max, phi_max)
+    return map_coordinates(jnp.asarray(arr), list(jnp.asarray(coords)),
+                           order=1, mode="constant", cval=0.0)
+
+
+def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
+                                   energy_ev, psize_cm, dist_to_source_cm,
+                                   det_psize_cm, theta_max=PI / 18,
+                                   phi_max=PI / 18, free_prop_cm=None,
+                                   map_to_plane=True):
+    """Cone-beam multislice propagation (ref npfuncs.py:66-118).
+
+    grids: (B, Y, X, Z). The object is resampled to spherical coordinates,
+    modulated slice by slice (kz = 2 pi dr / lambda), each slice followed by
+    a spherical free-space step at the current radius; optionally mapped back
+    to the planar detector grid at the end.
+    """
+    grid_delta_batch = jnp.asarray(grid_delta_batch, jnp.float32)
+    grid_beta_batch = jnp.asarray(grid_beta_batch, jnp.float32)
+    batch, dim_y, dim_x, n_slice = grid_delta_batch.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    dist_to_source_nm = dist_to_source_cm * 1e7
+    delta_nm = voxel_nm[-1]
+    lmbda_nm = 1240.0 / energy_ev
+    probe_size = (dim_y, dim_x)
+
+    sph = jax.vmap(lambda v: cartesian_to_spherical(
+        v, dist_to_source_nm, delta_nm, theta_max, phi_max))
+    delta_sph = sph(grid_delta_batch)
+    beta_sph = sph(grid_beta_batch)
+
+    probe = jnp.asarray(probe)
+    if probe.ndim == 2:
+        probe = probe[None]
+    wavefront = jnp.broadcast_to(probe.astype(jnp.complex64),
+                                 (batch, dim_y, dim_x))
+
+    kz = np.float32(2 * PI * delta_nm / lmbda_nm)
+    for i_slice in range(n_slice):
+        d = delta_sph[..., i_slice]
+        b = beta_sph[..., i_slice]
+        wavefront = wavefront * jnp.exp(jax.lax.complex(-kz * b, kz * d))
+        r_cm = dist_to_source_cm + (i_slice * delta_nm) * 1.0e-7
+        wavefront = free_propagate_spherical(wavefront, delta_nm * 1e-7, r_cm,
+                                             lmbda_nm, probe_size,
+                                             theta_max, phi_max)
+
+    r_nm = dist_to_source_nm + delta_nm * n_slice
+    if free_prop_cm is not None:
+        wavefront = free_propagate_spherical(wavefront, free_prop_cm,
+                                             r_nm * 1e-7, lmbda_nm, probe_size,
+                                             theta_max, phi_max)
+        r_nm += free_prop_cm * 1e7
+
+    if map_to_plane:
+        wavefront = jax.vmap(lambda w: get_wavefront_on_plane(
+            w, r_nm, probe_size, delta_nm, energy_ev, det_psize_cm * 1e7,
+            theta_max, phi_max))(wavefront)
+    return wavefront
+
+
+def get_wavefront_on_plane(wavefront_sph, r_nm, detector_size, delta_r_nm,
+                           energy_ev, det_psize_nm, theta_max=PI / 18,
+                           phi_max=PI / 18):
+    """Interpolate a spherical wavefront onto the planar detector.
+
+    Propagates the spherical field outward in radius until the whole flat
+    detector is covered, then gathers (theta, phi, r) samples trilinearly
+    (ref npfuncs.py:135-168, util.py:644-707).
+    """
+    lmbda_nm = 1240.0 / energy_ev
+    h, w = detector_size
+    x_true = (np.arange(w) - np.median(np.arange(w))) * det_psize_nm
+    y_true = (np.arange(h) - np.median(np.arange(h))) * det_psize_nm
+    x_mesh, y_mesh = np.meshgrid(x_true, y_true)
+    r_mesh = np.sqrt(x_mesh ** 2 + y_mesh ** 2 + r_nm ** 2)
+    theta_mesh = -np.arccos(y_mesh / r_mesh) + PI / 2
+    phi_mesh = np.arctan(x_mesh / r_nm)
+
+    n_extra = int(np.ceil((r_mesh.max() - r_nm) / delta_r_nm))
+    shells = [wavefront_sph]
+    wf = wavefront_sph
+    r_current = r_nm
+    for _ in range(n_extra):
+        r_current += delta_r_nm
+        wf = free_propagate_spherical(wf, delta_r_nm * 1e-7, r_current * 1e-7,
+                                      lmbda_nm, detector_size,
+                                      theta_max, phi_max)
+        shells.append(wf)
+    sph_stack = jnp.stack(shells, axis=-1)  # (theta, phi, r)
+
+    delta_theta = 2 * theta_max / (h - 1)
+    delta_phi = 2 * phi_max / (w - 1)
+    ri = (r_mesh - r_nm) / delta_r_nm
+    ti = theta_mesh / delta_theta + (h - 1) / 2.0
+    pi_ = phi_mesh / delta_phi + (w - 1) / 2.0
+    coords = [jnp.asarray(ti.astype(np.float32)),
+              jnp.asarray(pi_.astype(np.float32)),
+              jnp.asarray(ri.astype(np.float32))]
+    re = map_coordinates(jnp.real(sph_stack), coords, order=1, mode="nearest")
+    im = map_coordinates(jnp.imag(sph_stack), coords, order=1, mode="nearest")
+    return jax.lax.complex(re, im)

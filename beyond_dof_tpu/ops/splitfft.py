@@ -1,0 +1,122 @@
+"""Split-complex (re, im float32 pair) FFT and field arithmetic.
+
+TPU backends do not always support complex dtypes (the reference already
+plays the same trick for TF conv ops, splitting complex fields into stacked
+real/imag channels — ref cnn_propagator/propagation_tf.py:83-105; SURVEY §7
+flags "complex64 on TPU" as a hard part). This module provides a complete
+split-complex compute path:
+
+* 2-D DFT/IDFT as **real matmuls** against precomputed cos/sin matrices —
+  every FLOP lands on the MXU (an N-point DFT-by-matmul at f32 precision;
+  for the N <= 1024 planes of this workload the matmul formulation is both
+  simple and fast, and unlike an FFT it needs no complex arithmetic at all).
+* complex multiply / exp / abs on (re, im) pairs.
+
+Used automatically when the active backend lacks complex support (see
+:func:`complex_supported`), and directly by the benchmark path.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["complex_supported", "dft_mats", "cfft2_split", "cifft2_split",
+           "cmul", "cexp_modulation", "cabs", "apply_kernel_split"]
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=4)
+def complex_supported(platform=None):
+    """Probe whether the default backend executes complex64 ops.
+
+    The probe runs in a SUBPROCESS: on some TPU runtimes a failed complex op
+    poisons the whole client session (subsequent float32 transfers fail too),
+    so it must never run in the caller's process. Override with
+    ``BDT_COMPLEX=0|1`` to skip the probe entirely.
+    """
+    import os
+    env = os.environ.get("BDT_COMPLEX")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if platform is None:
+        platform = jax.default_backend()
+    if platform == "cpu":
+        return True
+    import subprocess
+    import sys
+    code = ("import numpy as np, jax, jax.numpy as jnp;"
+            "x = jax.device_put(np.ones((8, 8), np.complex64));"
+            "print(float(np.asarray(jnp.fft.fft2(x))[0, 0].real))")
+    try:
+        res = subprocess.run([sys.executable, "-c", code], timeout=300,
+                             capture_output=True)
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def dft_mats(n):
+    """(WR, WI) with W = WR + i WI = exp(-2 pi i n k / N), float32 (f64 build).
+
+    Cached as NumPy (not jnp) arrays: device constants created inside a
+    traced context would leak tracers through the cache.
+    """
+    idx = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(idx, idx) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _apply_dft_last(re, im, wr, wi):
+    """DFT along the last axis of an (..., N) split pair."""
+    re2 = (jnp.matmul(re, wr, precision=_PRECISION)
+           - jnp.matmul(im, wi, precision=_PRECISION))
+    im2 = (jnp.matmul(re, wi, precision=_PRECISION)
+           + jnp.matmul(im, wr, precision=_PRECISION))
+    return re2, im2
+
+
+def cfft2_split(re, im):
+    """2-D DFT over the last two axes of a split (re, im) pair."""
+    ny, nx = re.shape[-2], re.shape[-1]
+    wr_x, wi_x = dft_mats(nx)
+    re, im = _apply_dft_last(re, im, wr_x, wi_x)
+    wr_y, wi_y = dft_mats(ny)
+    re = jnp.swapaxes(re, -1, -2)
+    im = jnp.swapaxes(im, -1, -2)
+    re, im = _apply_dft_last(re, im, wr_y, wi_y)
+    return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
+
+
+def cifft2_split(re, im):
+    """2-D inverse DFT (conjugate transform / N) on a split pair."""
+    ny, nx = re.shape[-2], re.shape[-1]
+    # IDFT = conj(DFT(conj(x))) / N
+    re2, im2 = cfft2_split(re, -im)
+    scale = 1.0 / (ny * nx)
+    return re2 * scale, -im2 * scale
+
+
+def cmul(ar, ai, br, bi):
+    """Elementwise complex multiply of split pairs."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def cexp_modulation(delta, beta, k):
+    """(re, im) of exp(i k delta - k beta) — the refractive modulation factor."""
+    amp = jnp.exp(-k * beta)
+    return amp * jnp.cos(k * delta), amp * jnp.sin(k * delta)
+
+
+def cabs(re, im):
+    return jnp.sqrt(re * re + im * im)
+
+
+def apply_kernel_split(re, im, hr, hi):
+    """fft2 -> multiply by (hr, hi) -> ifft2, all split-complex."""
+    fr, fi = cfft2_split(re, im)
+    fr, fi = cmul(fr, fi, hr, hi)
+    return cifft2_split(fr, fi)

@@ -1,0 +1,61 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from beyond_dof_tpu.configs.presets import (FULLFIELD_PRESETS, PTYCHO_PRESETS,
+                                            make_phantom)
+
+
+def test_presets_complete():
+    # the reference's experiment suite (ref reconstruct_fullfield.py:19-269)
+    for name in ["adhesin", "cone_256", "cone_256_180", "cone_far", "2d",
+                 "2d_cell", "cone_noisy", "cone_pp"]:
+        assert name in FULLFIELD_PRESETS
+        p = FULLFIELD_PRESETS[name]
+        assert "phantom" in p and "simulate" in p and "reconstruct" in p
+    for name in ["adhesin_ptycho", "cone_ptycho"]:
+        assert name in PTYCHO_PRESETS
+        assert len(PTYCHO_PRESETS[name]["probe_pos"]) == 529  # 23 x 23 grid
+
+
+def test_make_phantom_kinds():
+    gd, gb = make_phantom({"kind": "adhesin", "size": 16})
+    assert gd.shape == (16, 16, 16)
+    gd, gb = make_phantom({"kind": "cone_foam", "size": 16, "flat": True})
+    assert gd.shape == (16, 16, 1)
+
+
+def test_cli_simulate_and_reconstruct(tmp_path):
+    """End-to-end CLI drive on a tiny problem (adhesin preset, 4 angles)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom;"
+        "from beyond_dof_tpu.sim.acquire import create_fullfield_data;"
+        "from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield;"
+        "import numpy as np;"
+        "p = FULLFIELD_PRESETS['adhesin'];"
+        "gd, gb = make_phantom(dict(p['phantom'], size=16));"
+        "sim = dict(p['simulate'], n_theta=4);"
+        "data = create_fullfield_data(gd, gb, **sim);"
+        "r = dict(p['reconstruct'], n_epochs=1, minibatch_size=2,"
+        "         save_outputs=False, verbose=False, shrink_cycle=None);"
+        "d, b, info = reconstruct_fullfield(data=data, **r);"
+        "print('LOSS', info['loss'][-1])"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "LOSS" in out.stdout, out.stderr
+
+
+def test_cli_help():
+    from beyond_dof_tpu import cli
+    with pytest.raises(SystemExit):
+        cli.main(["--help"])

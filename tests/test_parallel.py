@@ -1,0 +1,86 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from beyond_dof_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from beyond_dof_tpu.parallel.collectives import halo_exchange_1d, broadcast_flag
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+from beyond_dof_tpu.sim.acquire import create_fullfield_data
+from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+
+try:
+    from jax import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _smo
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _smo(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(n_data=2, tile_yx=(2, 2))
+    assert mesh.shape == {"data": 2, "ty": 2, "tx": 2}
+    mesh1 = make_mesh(n_data=1, tile_yx=(1, 1))
+    assert mesh1.shape == {"data": 1, "ty": 1, "tx": 1}
+
+
+def test_halo_exchange_matches_global_pad():
+    """Gather the halos on a 4-way mesh and compare against a plain global pad."""
+    mesh = make_mesh(n_data=1, tile_yx=(4, 1))
+    x = np.arange(32 * 8, dtype=np.float32).reshape(32, 8)
+
+    def f(tile):
+        return halo_exchange_1d(tile, 2, 0, "ty", edge_val=-1.0)
+
+    out = shard_map(f, mesh, in_specs=P("ty", None),
+                    out_specs=P("ty", None))(jnp.asarray(x))
+    out = np.asarray(out)  # (4*(8+4), 8) stacked padded tiles
+    tiles = out.reshape(4, 12, 8)
+    for i in range(4):
+        lo = x[i * 8 - 2: i * 8] if i > 0 else np.full((2, 8), -1.0)
+        hi = x[(i + 1) * 8: (i + 1) * 8 + 2] if i < 3 else np.full((2, 8), -1.0)
+        assert np.array_equal(tiles[i, :2], lo)
+        assert np.array_equal(tiles[i, 2:10], x[i * 8:(i + 1) * 8])
+        assert np.array_equal(tiles[i, 10:], hi)
+
+
+def test_broadcast_flag_single_process():
+    assert broadcast_flag(True) is True
+    assert broadcast_flag(False) is False
+
+
+def test_data_parallel_engine_matches_serial():
+    """1-device vs 2-way data-parallel reconstruction: same loss trajectory
+    (the sharded minibatch mean + SPMD grad reduction must equal the serial
+    computation up to reduction order)."""
+    gd, gb = adhesin_phantom(16)
+    data = create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                 free_prop_cm=None, n_theta=16, batch_size=8,
+                                 theta_end=2 * np.pi)
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, energy_ev=800,
+                  psize_cm=0.67e-7, shrink_cycle=None, save_outputs=False,
+                  verbose=False, propagate_last=False, seed=0,
+                  random_theta=False)
+    d1, b1, info1 = reconstruct_fullfield(minibatch_size=8,
+                                          learning_rate=1e-7, **common)
+    mesh = make_mesh(n_data=2, tile_yx=(1, 1))
+    # the engine scales LR by the data-parallel size (reference semantics,
+    # ref fullfield.py:409-411) — halve it to compare trajectories exactly
+    d2, b2, info2 = reconstruct_fullfield(minibatch_size=4, mesh=mesh,
+                                          learning_rate=0.5e-7, **common)
+    # same global batch of 8 angles split over 2 devices
+    assert np.allclose(info1["loss"], info2["loss"], rtol=1e-3)
+    assert np.allclose(d1, d2, atol=1e-8)
+
+
+def test_data_sharding_spec():
+    mesh = make_mesh(n_data=2, tile_yx=(1, 1))
+    sh = data_sharding(mesh, 3)
+    x = jax.device_put(jnp.zeros((4, 8, 8)), sh)
+    assert len(x.sharding.device_set) == 2

@@ -1,0 +1,94 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+from beyond_dof_tpu.models.ptycho import (compute_pad_arr, extract_patches,
+                                          ptycho_forward)
+from beyond_dof_tpu.sim.acquire import (create_ptychography_data,
+                                        grid_probe_positions)
+from beyond_dof_tpu.recon.ptycho import reconstruct_ptychography
+
+
+@pytest.fixture(scope="module")
+def ptycho_setup():
+    gd, gb = adhesin_phantom(24)
+    probe_size = (12, 12)
+    pos = grid_probe_positions((24, 24), probe_size, 6)
+    data = create_ptychography_data(
+        gd, gb, 5000, 1e-7, n_theta=8, probe_pos=pos, probe_size=probe_size,
+        theta_end=2 * np.pi, probe_mag_sigma=3, probe_phase_sigma=3,
+        probe_phase_max=0.5, probe_circ_mask=0.9)
+    return gd, gb, pos, probe_size, data
+
+
+def test_compute_pad_arr():
+    pos = np.array([[2, 2], [30, 30]])
+    pad = compute_pad_arr(pos, (8, 8), (32, 32, 32))
+    assert pad[0, 0] == 2 and pad[0, 1] == 2
+    assert pad[1, 0] == 2 and pad[1, 1] == 2
+    pad0 = compute_pad_arr(np.array([[16, 16]]), (8, 8), (32, 32, 32))
+    assert (pad0 == 0).all()
+
+
+def test_extract_patches_matches_slicing():
+    rng = np.random.RandomState(0)
+    vol = rng.rand(20, 20, 5).astype(np.float32)
+    pos = np.array([[10, 10], [6, 13]])
+    pad_arr = np.zeros((2, 2), int)
+    patches = np.asarray(extract_patches(jnp.asarray(vol), pos, (8, 8), pad_arr))
+    for i, (y, x) in enumerate(pos):
+        ref = vol[y - 4: y + 4, x - 4: x + 4]
+        assert np.array_equal(patches[i], ref)
+
+
+def test_ptycho_data_shape(ptycho_setup):
+    gd, gb, pos, probe_size, data = ptycho_setup
+    assert data.shape == (8, len(pos), 12, 12)
+    assert np.isfinite(data).all()
+
+
+def test_ptycho_forward_runs(ptycho_setup):
+    gd, gb, pos, probe_size, data = ptycho_setup
+    pad_arr = compute_pad_arr(pos, probe_size, gd.shape)
+    probe = np.ones(probe_size, np.complex64)
+    out = ptycho_forward(jnp.asarray(gd), jnp.asarray(gb), jnp.float32(0.3),
+                         pos[:4], probe, 5000, 1e-7, probe_size, pad_arr)
+    assert out.shape == (4, 12, 12)
+
+
+def test_ptycho_reconstruction_loss_decreases(ptycho_setup):
+    gd, gb, pos, probe_size, data = ptycho_setup
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24), data=data,
+        theta_end=2 * np.pi, n_epochs=10, alpha_d=0, alpha_b=0, gamma=0,
+        learning_rate=1e-7, minibatch_size=9, energy_ev=5000, psize_cm=1e-7,
+        probe_type="gaussian", probe_mag_sigma=3, probe_phase_sigma=3,
+        probe_phase_max=0.5, save_outputs=False, verbose=False, seed=0)
+    assert np.mean(info["loss"][-3:]) < 0.5 * np.mean(info["loss"][:3])
+    assert d.shape == gd.shape
+
+
+def test_ptycho_dynamic_dropping_drops(ptycho_setup):
+    gd, gb, pos, probe_size, data = ptycho_setup
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24), data=data,
+        theta_end=2 * np.pi, n_epochs=3, alpha_d=0, alpha_b=0, gamma=0,
+        learning_rate=1e-7, minibatch_size=4, energy_ev=5000, psize_cm=1e-7,
+        probe_type="gaussian", probe_mag_sigma=3, probe_phase_sigma=3,
+        probe_phase_max=0.5, save_outputs=False, verbose=False, seed=0,
+        dynamic_dropping=True, dropping_threshold=1e3)  # huge: drops to floor
+    assert info["n_active_positions"][-1] <= len(pos)
+
+
+def test_ptycho_optimizable_probe_updates(ptycho_setup):
+    gd, gb, pos, probe_size, data = ptycho_setup
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24), data=data,
+        theta_end=2 * np.pi, n_epochs=2, alpha_d=0, alpha_b=0, gamma=0,
+        learning_rate=1e-7, minibatch_size=9, energy_ev=5000, psize_cm=1e-7,
+        probe_type="optimizable",
+        probe_initial=(np.ones(probe_size), np.zeros(probe_size)),
+        probe_learning_rate=1e-3, save_outputs=False, verbose=False, seed=0)
+    # probe moved away from its initial value
+    assert np.abs(info["probe"] - 1).max() > 0

@@ -1,0 +1,61 @@
+import numpy as np
+import jax.numpy as jnp
+
+from beyond_dof_tpu.constants import PI
+from beyond_dof_tpu.ops.spherical import (cartesian_to_spherical,
+                                          multislice_propagate_spherical,
+                                          get_wavefront_on_plane)
+from beyond_dof_tpu.ops.fresnel import (free_propagate_spherical,
+                                        get_kernel_spherical)
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+
+
+def test_spherical_kernel_unit_modulus():
+    h = get_kernel_spherical(100.0, 0.25, 1e4, PI / 18, PI / 18, (32, 32))
+    assert np.abs(np.abs(h) - 1).max() < 1e-6
+
+
+def test_free_propagate_spherical_energy():
+    rng = np.random.RandomState(0)
+    w = (rng.rand(32, 32) + 1j * rng.rand(32, 32)).astype(np.complex64)
+    out = np.asarray(free_propagate_spherical(jnp.asarray(w), 1e-4, 1e-3,
+                                              0.25, (32, 32)))
+    e_in = np.sum(np.abs(w) ** 2)
+    e_out = np.sum(np.abs(out) ** 2)
+    assert abs(e_out - e_in) / e_in < 1e-3
+
+
+def test_cartesian_to_spherical_preserves_uniform():
+    """A constant volume resamples to (nearly) the same constant in-range.
+
+    Geometry note: with a source distance comparable to the volume size the
+    central (theta~0, phi~0) rays stay inside the volume; far-off-axis
+    samples fall outside and are zero-filled like the reference
+    (RegularGridInterpolator fill_value=0, ref npfuncs.py:179)."""
+    vol = np.ones((16, 16, 16), np.float32)
+    sph = np.asarray(cartesian_to_spherical(vol, 40.0, 1.0))
+    assert np.abs(sph[7:9, 7:9, 2:8] - 1).max() < 1e-3
+    # and far-off-axis points are outside -> 0-filled
+    assert sph[0, 0, -1] == 0
+
+
+def test_multislice_spherical_runs_and_is_finite():
+    gd, gb = adhesin_phantom(16)
+    out = multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((16, 16), np.complex64), 5000, 1e-7,
+        dist_to_source_cm=1e-4, det_psize_cm=3e-7,
+        theta_max=PI / 15, phi_max=PI / 15, map_to_plane=False)
+    out = np.asarray(out)
+    assert out.shape == (1, 16, 16)
+    assert np.isfinite(out).all()
+    # weak object: magnitudes stay near unity
+    assert abs(np.abs(out).mean() - 1) < 0.2
+
+
+def test_wavefront_on_plane_shapes():
+    rng = np.random.RandomState(0)
+    w = (rng.rand(16, 16) + 1j * rng.rand(16, 16)).astype(np.complex64)
+    out = np.asarray(get_wavefront_on_plane(jnp.asarray(w), 1e4, (16, 16),
+                                            1.0, 5000, 2.0))
+    assert out.shape == (16, 16)
+    assert np.isfinite(out).all()

@@ -1,0 +1,75 @@
+import numpy as np
+import jax.numpy as jnp
+
+from beyond_dof_tpu.ops.splitfft import (dft_mats, cfft2_split, cifft2_split,
+                                         cmul, cexp_modulation, cabs,
+                                         complex_supported)
+from beyond_dof_tpu.ops.multislice import (multislice_propagate_batch,
+                                           multislice_propagate_batch_split)
+from beyond_dof_tpu.models.fullfield import (rotate_and_project_batch,
+                                             rotate_and_project_batch_split)
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+
+
+def test_cfft2_matches_numpy_fft():
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 32, 32) + 1j * rng.rand(2, 32, 32)).astype(np.complex64)
+    re, im = cfft2_split(jnp.asarray(x.real), jnp.asarray(x.imag))
+    ref = np.fft.fft2(x)
+    out = np.asarray(re) + 1j * np.asarray(im)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_cifft2_inverts_cfft2():
+    rng = np.random.RandomState(1)
+    x = rng.rand(16, 16).astype(np.float32)
+    y = rng.rand(16, 16).astype(np.float32)
+    fr, fi = cfft2_split(jnp.asarray(x), jnp.asarray(y))
+    br, bi = cifft2_split(fr, fi)
+    assert np.abs(np.asarray(br) - x).max() < 1e-5
+    assert np.abs(np.asarray(bi) - y).max() < 1e-5
+
+
+def test_cmul_and_modulation():
+    ar, ai = 1.0, 2.0
+    br, bi = 3.0, -1.0
+    rr, ri = cmul(jnp.float32(ar), jnp.float32(ai), jnp.float32(br), jnp.float32(bi))
+    ref = complex(ar, ai) * complex(br, bi)
+    assert abs(complex(float(rr), float(ri)) - ref) < 1e-6
+    cr, ci = cexp_modulation(jnp.float32(0.3), jnp.float32(0.1), jnp.float32(2.0))
+    ref = np.exp(1j * 2.0 * 0.3 - 2.0 * 0.1)
+    assert abs(complex(float(cr), float(ci)) - ref) < 1e-6
+    assert abs(float(cabs(jnp.float32(3.0), jnp.float32(4.0))) - 5.0) < 1e-6
+
+
+def test_split_multislice_matches_complex():
+    gd, gb = adhesin_phantom(24)
+    gd_b, gb_b = gd[None], gb[None]
+    pr = np.ones((24, 24), np.float32)
+    pi = np.zeros((24, 24), np.float32)
+    probe = (pr + 1j * pi).astype(np.complex64)
+    for fp in [None, 1e-4, "inf"]:
+        ref = np.asarray(multislice_propagate_batch(gd_b, gb_b, probe, 800,
+                                                    0.67e-7, free_prop_cm=fp))
+        re, im = multislice_propagate_batch_split(gd_b, gb_b, pr, pi, 800,
+                                                  0.67e-7, free_prop_cm=fp)
+        out = np.asarray(re) + 1j * np.asarray(im)
+        assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1) < 1e-5
+
+
+def test_split_forward_model_matches_complex():
+    gd, gb = adhesin_phantom(16)
+    theta = jnp.asarray([0.4, 1.2], jnp.float32)
+    probe = np.ones((16, 16), np.complex64)
+    ref = np.abs(np.asarray(rotate_and_project_batch(
+        jnp.asarray(gd), jnp.asarray(gb), theta, probe, 800, 0.67e-7)))
+    re, im = rotate_and_project_batch_split(
+        jnp.asarray(gd), jnp.asarray(gb), theta,
+        jnp.ones((16, 16), jnp.float32), jnp.zeros((16, 16), jnp.float32),
+        800, 0.67e-7)
+    mag = np.asarray(jnp.sqrt(re * re + im * im))
+    assert np.abs(mag - ref).max() < 1e-5
+
+
+def test_complex_supported_on_cpu():
+    assert complex_supported("cpu") is True
