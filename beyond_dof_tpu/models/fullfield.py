@@ -24,13 +24,23 @@ __all__ = ["rotate_and_project_batch", "rotate_and_project_batch_split",
 def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
                              energy_ev, psize_cm, free_prop_cm=None, h=None,
                              forward_algorithm="fresnel", rotation_lookup_batch=None,
-                             propagate_last=True, remat=True):
+                             propagate_last=True, remat=True, kernel_size=17,
+                             tile_mesh=None, **spherical_kwargs):
     """Forward-model a minibatch of angles to exit/detector wavefields.
 
     Parameters mirror the reference engine (ref fullfield.py:92-116). If
     ``rotation_lookup_batch`` (B, X*Z int32 gather maps) is given, the exact
     nearest-neighbor lookup rotation of the autograd engines is used instead
     of bilinear rotation (ref cnn_propagator/fullfield.py:83).
+
+    forward_algorithm:
+      'fresnel' — FFT multislice (ref util.py:432);
+      'fd'      — finite-difference BPM (ref util.py:511);
+      'conv'    — truncated-kernel convolution propagator with ``kernel_size``
+                  (the cnn engine's path, ref cnn_propagator/fullfield.py:87);
+                  shard_mapped over ``tile_mesh`` (ty, tx) when given;
+      'spherical' — cone-beam point-probe path (ref fullfield.py:99-104);
+                  needs dist_to_source_cm/det_psize_cm/theta_max/phi_max.
 
     Returns (B, Y, X) complex64 wavefields.
     """
@@ -51,8 +61,29 @@ def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
         exiting = multislice_propagate_fd(
             delta_rot, beta_rot, probe, energy_ev, psize_cm,
             free_prop_cm=free_prop_cm, remat=remat)
+    elif forward_algorithm == "conv":
+        from ..ops.tiled import (multislice_propagate_cnn,
+                                 multislice_propagate_tiled)
+        if tile_mesh is not None:
+            exiting = multislice_propagate_tiled(
+                delta_rot, beta_rot, probe, energy_ev, psize_cm, tile_mesh,
+                kernel_size=kernel_size, free_prop_cm=free_prop_cm, remat=remat)
+        else:
+            exiting = multislice_propagate_cnn(
+                delta_rot, beta_rot, probe, energy_ev, psize_cm,
+                kernel_size=kernel_size, free_prop_cm=free_prop_cm, remat=remat)
+    elif forward_algorithm == "spherical":
+        from ..ops.spherical import multislice_propagate_spherical
+        exiting = multislice_propagate_spherical(
+            delta_rot, beta_rot, probe, energy_ev, psize_cm,
+            dist_to_source_cm=spherical_kwargs["dist_to_source_cm"],
+            det_psize_cm=spherical_kwargs["det_psize_cm"],
+            theta_max=spherical_kwargs.get("theta_max", 0.17453),
+            phi_max=spherical_kwargs.get("phi_max", 0.17453),
+            free_prop_cm=free_prop_cm)
     else:
-        raise ValueError("forward_algorithm must be 'fresnel' or 'fd'")
+        raise ValueError(
+            "forward_algorithm must be 'fresnel', 'fd', 'conv', or 'spherical'")
     return exiting
 
 

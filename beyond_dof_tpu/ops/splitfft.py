@@ -60,34 +60,41 @@ def complex_supported(platform=None):
 
 @functools.lru_cache(maxsize=16)
 def dft_mats(n):
-    """(WR, WI) with W = WR + i WI = exp(-2 pi i n k / N), float32 (f64 build).
+    """(WR, WI, WR+WI) with W = WR + i WI = exp(-2 pi i n k / N), float32.
 
     Cached as NumPy (not jnp) arrays: device constants created inside a
-    traced context would leak tracers through the cache.
+    traced context would leak tracers through the cache. The precomputed
+    sum matrix feeds the Karatsuba 3-multiplication complex matmul.
     """
     idx = np.arange(n)
     ang = -2.0 * np.pi * np.outer(idx, idx) / n
-    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    wr = np.cos(ang).astype(np.float32)
+    wi = np.sin(ang).astype(np.float32)
+    return wr, wi, (wr + wi).astype(np.float32)
 
 
-def _apply_dft_last(re, im, wr, wi):
-    """DFT along the last axis of an (..., N) split pair."""
-    re2 = (jnp.matmul(re, wr, precision=_PRECISION)
-           - jnp.matmul(im, wi, precision=_PRECISION))
-    im2 = (jnp.matmul(re, wi, precision=_PRECISION)
-           + jnp.matmul(im, wr, precision=_PRECISION))
-    return re2, im2
+def _apply_dft_last(re, im, wr, wi, wrpwi):
+    """DFT along the last axis of an (..., N) split pair.
+
+    Karatsuba 3-mult complex matmul: 25% fewer MXU flops than the naive
+    4-matmul form:  t1 = a Wr, t2 = b Wi, re' = t1 - t2,
+                    im' = (a + b)(Wr + Wi) - t1 - t2.
+    """
+    t1 = jnp.matmul(re, wr, precision=_PRECISION)
+    t2 = jnp.matmul(im, wi, precision=_PRECISION)
+    t3 = jnp.matmul(re + im, wrpwi, precision=_PRECISION)
+    return t1 - t2, t3 - t1 - t2
 
 
 def cfft2_split(re, im):
     """2-D DFT over the last two axes of a split (re, im) pair."""
     ny, nx = re.shape[-2], re.shape[-1]
-    wr_x, wi_x = dft_mats(nx)
-    re, im = _apply_dft_last(re, im, wr_x, wi_x)
-    wr_y, wi_y = dft_mats(ny)
+    wr_x, wi_x, ws_x = dft_mats(nx)
+    re, im = _apply_dft_last(re, im, wr_x, wi_x, ws_x)
+    wr_y, wi_y, ws_y = dft_mats(ny)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
-    re, im = _apply_dft_last(re, im, wr_y, wi_y)
+    re, im = _apply_dft_last(re, im, wr_y, wi_y, ws_y)
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
 
 

@@ -151,6 +151,11 @@ def multislice_propagate_cnn(grid_delta, grid_beta, probe, energy_ev, psize_cm,
     Faithful rebuild of ``multislice_propagate_cnn``
     (ref cnn_propagator/propagation.py:18-133) with the separable-matmul
     formulation. grids are (B, Y, X, Z); probe (Y, X) or (B, Y, X) complex.
+
+    Note for AD reconstruction: the corner-pixel renormalization
+    (ref propagation.py:109-110) concentrates extra gradient on one pixel;
+    the conv forward typically needs a ~100x smaller learning rate than the
+    FFT forward for the same workload (or pass ``renormalize=False``).
     """
     assert kernel_size % 2 == 1, "kernel_size must be an odd number."
     grid_delta = jnp.asarray(grid_delta, jnp.float32)

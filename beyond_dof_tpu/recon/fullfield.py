@@ -84,8 +84,10 @@ def _init_object(shape, mask, rng, initial_guess=None, prev=None,
 def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 alpha, alpha_d, alpha_b, gamma, forward_algorithm,
                 optimize_probe, pupil_function, shrink_cycle,
-                n_epochs_mask_release, shrink_threshold, propagate_last, remat):
+                n_epochs_mask_release, shrink_threshold, propagate_last, remat,
+                kernel_size=17, tile_mesh=None, forward_kwargs=None):
     """One fused train step (value_and_grad + Adam + projections + shrink-wrap)."""
+    forward_kwargs = forward_kwargs or {}
 
     def loss_fn(params, mask, theta_batch, prj_mag):
         obj_delta = params["delta"] * mask
@@ -97,7 +99,8 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
         exiting = rotate_and_project_batch(
             obj_delta, obj_beta, theta_batch, probe, energy_ev, psize_cm,
             free_prop_cm=free_prop_cm, h=h, forward_algorithm=forward_algorithm,
-            propagate_last=propagate_last, remat=remat)
+            propagate_last=propagate_last, remat=remat,
+            kernel_size=kernel_size, tile_mesh=tile_mesh, **forward_kwargs)
         err = fullfield_loss(exiting, prj_mag)
         reg = regularization_term(obj_delta, obj_beta, alpha_d, alpha_b, gamma,
                                   alpha=alpha)
@@ -141,7 +144,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           checkpoint_dir=None, checkpoint_every=0,
                           profile_epochs=(), save_outputs=True,
                           propagate_last=True, remat=True, cpu_only=False,
-                          core_parallelization=True, verbose=True, **kwargs):
+                          core_parallelization=True, verbose=True,
+                          kernel_size=17, tile_mesh=None, **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
     Parameter names and semantics follow the reference engine
@@ -238,11 +242,22 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
 
         pupil = (jnp.asarray(pupil_function, jnp.float32)
                  if pupil_function is not None else None)
+        # point (cone-beam) probes propagate spherically regardless of the
+        # requested algorithm (ref fullfield.py:99-104)
+        eff_forward = ("spherical" if probe_type == "point"
+                       else forward_algorithm)
+        fwd_kwargs = {}
+        if eff_forward == "spherical":
+            fwd_kwargs = {k: kwargs[k] for k in
+                          ("dist_to_source_cm", "det_psize_cm",
+                           "theta_max", "phi_max") if k in kwargs}
         step = _build_step(tx, probe, energy_ev, psize_cm * ds_level,
                            free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
-                           forward_algorithm, optimize_probe, pupil,
+                           eff_forward, optimize_probe, pupil,
                            shrink_cycle, n_epochs_mask_release,
-                           shrink_threshold, propagate_last, remat)
+                           shrink_threshold, propagate_last, remat,
+                           kernel_size=kernel_size, tile_mesh=tile_mesh,
+                           forward_kwargs=fwd_kwargs)
 
         mask_dev = jnp.asarray(mask)
         batch_shard = data_sharding(mesh, 1) if mesh is not None else None

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+from beyond_dof_tpu.sim.acquire import create_fullfield_data
+from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+from beyond_dof_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    gd, gb = adhesin_phantom(16)
+    data = create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                 free_prop_cm=None, n_theta=8, batch_size=8,
+                                 theta_end=2 * np.pi)
+    return gd, gb, data
+
+
+def _common(data):
+    return dict(data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0,
+                alpha_b=0, gamma=0, learning_rate=1e-7, energy_ev=800,
+                psize_cm=0.67e-7, minibatch_size=4, shrink_cycle=None,
+                save_outputs=False, verbose=False, seed=0,
+                propagate_last=False)
+
+
+def test_engine_conv_forward(tiny_dataset):
+    """Truncated-kernel conv propagator inside the engine, model-matched
+    closed loop: data simulated with the SAME conv propagator
+    (parity with the autograd cnn engine, ref cnn_propagator/fullfield.py:87)."""
+    import jax.numpy as jnp
+    from beyond_dof_tpu.ops.tiled import multislice_propagate_cnn
+    from beyond_dof_tpu.ops.rotate import rotate_volume
+    gd, gb, _ = tiny_dataset
+    thetas = -np.linspace(0, 2 * np.pi, 8)
+    data = np.stack([
+        np.asarray(multislice_propagate_cnn(
+            np.asarray(rotate_volume(jnp.asarray(gd), th))[None],
+            np.asarray(rotate_volume(jnp.asarray(gb), th))[None],
+            np.ones((16, 16), np.complex64), 800, 0.67e-7, kernel_size=5))[0]
+        for th in thetas])
+    d, b, info = reconstruct_fullfield(forward_algorithm="conv", kernel_size=5,
+                                       **_common(data))
+    assert np.isfinite(info["loss"]).all()
+
+
+def test_engine_conv_forward_tiled_mesh(tiny_dataset):
+    """Conv forward shard_mapped over a (ty, tx) tile mesh inside the engine."""
+    gd, gb, data = tiny_dataset
+    mesh = make_mesh(n_data=1, tile_yx=(2, 2))
+    d, b, info = reconstruct_fullfield(forward_algorithm="conv", kernel_size=5,
+                                       tile_mesh=mesh, **_common(data))
+    assert np.isfinite(info["loss"]).all()
+
+
+def test_engine_fd_forward(tiny_dataset):
+    gd, gb, data = tiny_dataset
+    d, b, info = reconstruct_fullfield(forward_algorithm="fd", **_common(data))
+    assert np.isfinite(info["loss"]).all()
+
+
+def test_engine_point_probe_spherical(tiny_dataset):
+    """Cone-beam engine path (probe_type='point' -> spherical multislice,
+    ref fullfield.py:99-104, params_cone_pp)."""
+    gd, gb = adhesin_phantom(16)
+    from beyond_dof_tpu.ops.spherical import multislice_propagate_spherical
+    from beyond_dof_tpu.constants import PI
+    # simulate cone-beam data directly with the spherical propagator
+    data = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((16, 16), np.complex64), 800, 0.67e-7,
+        dist_to_source_cm=1e-4, det_psize_cm=2e-7, theta_max=PI / 15,
+        phi_max=PI / 15, map_to_plane=False))
+    data = np.tile(data, (4, 1, 1))
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=2 * np.pi, n_epochs=1, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, energy_ev=800, psize_cm=0.67e-7,
+        minibatch_size=2, shrink_cycle=None, save_outputs=False, verbose=False,
+        seed=0, probe_type="point", dist_to_source_cm=1e-4, det_psize_cm=2e-7,
+        theta_max=PI / 15, phi_max=PI / 15)
+    assert np.isfinite(info["loss"]).all()
+
+
+def test_engine_optimizable_probe(tiny_dataset):
+    gd, gb, data = tiny_dataset
+    d, b, info = reconstruct_fullfield(
+        probe_type="optimizable",
+        probe_initial=(np.ones((16, 16)), np.zeros((16, 16))),
+        probe_learning_rate=1e-4, **_common(data))
+    probe = info["probe"]
+    assert probe.shape == (16, 16)
+    assert np.abs(probe - 1).max() > 0  # probe was updated
+
+
+def test_engine_pupil_function(tiny_dataset):
+    gd, gb, data = tiny_dataset
+    pupil = np.zeros((16, 16), np.float32)
+    pupil[4:12, 4:12] = 1
+    d, b, info = reconstruct_fullfield(
+        probe_type="optimizable",
+        probe_initial=(np.ones((16, 16)), np.zeros((16, 16))),
+        pupil_function=pupil, **_common(data))
+    # pupil is re-applied after each step: outside must be zero
+    assert np.abs(info["probe"][0, 0]) == 0
