@@ -145,7 +145,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           profile_epochs=(), save_outputs=True,
                           propagate_last=True, remat=True, cpu_only=False,
                           core_parallelization=True, verbose=True,
-                          kernel_size=17, tile_mesh=None, **kwargs):
+                          kernel_size=17, tile_mesh=None,
+                          shard_object=None, **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
     Parameter names and semantics follow the reference engine
@@ -264,9 +265,29 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         prj_shard = data_sharding(mesh, 3) if mesh is not None else None
         if mesh is not None:
             rep = replicated(mesh)
-            params = jax.device_put(params, rep)
-            opt_state = jax.device_put(opt_state, rep)
-            mask_dev = jax.device_put(mask_dev, rep)
+            if shard_object == "z":
+                # FSDP-like memory sharding: the (Y, X, Z) object grids and
+                # their Adam moments are split along Z over the data axis —
+                # required to fit 1024^3 complex problems on a v5e-8
+                # (SURVEY §2 parallelism checklist, "Model/optimizer
+                # sharding"). XLA GSPMD inserts the gathers the rotation and
+                # per-slice scan need.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                zshard = NamedSharding(mesh, P(None, None, "data"))
+
+                def put(x):
+                    x = jnp.asarray(x)
+                    if getattr(x, "ndim", 0) == 3 and x.shape == obj_shape:
+                        return jax.device_put(x, zshard)
+                    return jax.device_put(x, rep)
+
+                params = jax.tree.map(put, params)
+                opt_state = jax.tree.map(put, opt_state)
+                mask_dev = jax.device_put(mask_dev, zshard)
+            else:
+                params = jax.device_put(params, rep)
+                opt_state = jax.device_put(opt_state, rep)
+                mask_dev = jax.device_put(mask_dev, rep)
 
         # ---- checkpoint resume ---------------------------------------------
         start_epoch = 0

@@ -84,3 +84,22 @@ def test_data_sharding_spec():
     sh = data_sharding(mesh, 3)
     x = jax.device_put(jnp.zeros((4, 8, 8)), sh)
     assert len(x.sharding.device_set) == 2
+
+
+def test_object_z_sharding_matches_replicated():
+    """FSDP-like Z-axis sharding of the object + Adam state over the data
+    axis (SURVEY §2 'Model/optimizer sharding') is bitwise-equivalent."""
+    gd, gb = adhesin_phantom(16)
+    data = create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                 free_prop_cm=None, n_theta=8, batch_size=8,
+                                 theta_end=2 * np.pi)
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0,
+                  alpha_b=0, gamma=0, energy_ev=800, psize_cm=0.67e-7,
+                  minibatch_size=4, shrink_cycle=None, save_outputs=False,
+                  verbose=False, propagate_last=False, seed=0,
+                  random_theta=False, learning_rate=0.5e-7)
+    mesh = make_mesh(n_data=2, tile_yx=(1, 1))
+    d1, b1, i1 = reconstruct_fullfield(mesh=mesh, **common)
+    d2, b2, i2 = reconstruct_fullfield(mesh=mesh, shard_object="z", **common)
+    assert i1["loss"] == i2["loss"]
+    assert np.array_equal(d1, d2)
