@@ -82,18 +82,24 @@ def run_benchmark(size=256, n_slices=256, batch=1, n_iters=10, energy_ev=5000,
     fn = jax.jit(repeated, static_argnums=3)
     gd_d = jnp.asarray(gd)
     gb_d = jnp.asarray(gb)
-    _ = float(fn(gd_d, gb_d, pr, 1))  # compile + warm up
+    # RPC-dispatched backends add O(seconds) noisy per-call overhead; run
+    # enough device-side volumes that compute dominates, difference against a
+    # 1-volume call, and take the min of several measurements.
+    n_iters = max(n_iters, 100)
+    for n in (1, 1 + n_iters):
+        _ = float(fn(gd_d, gb_d, pr, n))  # compile + warm up
 
-    t0 = time.perf_counter()
-    _ = float(fn(gd_d, gb_d, pr, 1))
-    t_base = time.perf_counter() - t0
+    def best_time(n, k=4):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            _ = float(fn(gd_d, gb_d, pr, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    _ = float(fn(gd_d, gb_d, pr, 1 + n_iters))  # compile the long variant
-    t0 = time.perf_counter()
-    _ = float(fn(gd_d, gb_d, pr, 1 + n_iters))
-    t_full = time.perf_counter() - t0
-    # difference cancels dispatch/fetch overhead
-    dt = max((t_full - t_base), 1e-9) / n_iters
+    t_base = best_time(1)
+    t_full = best_time(1 + n_iters)
+    dt = max(t_full - t_base, 1e-9) / n_iters
 
     slices_per_sec = batch * n_slices / dt
     baseline = _numpy_baseline_slices_per_sec(size)

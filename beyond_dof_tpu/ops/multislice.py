@@ -211,6 +211,45 @@ def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
     return wavefront
 
 
+def multislice_propagate_projection(grid_delta, grid_beta, probe, energy_ev,
+                                    psize_cm, s_r_cm, free_prop_cm=None):
+    """Cone-beam 'projection' multislice via Fresnel scaling.
+
+    Per slice: modulate, paraxial free-space step at the current
+    source-to-slice radius, then magnification resampling back onto the
+    fixed grid (ref tensorflow_recon/util.py:439-508, type='projection').
+    Python loop (kernel changes per slice); suitable for moderate n_slice.
+    """
+    from .image import rescale_image
+
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    k = np.float32(2.0 * PI * voxel_nm[-1] / lmbda_nm)
+
+    probe = jnp.asarray(probe)
+    if probe.ndim == 2:
+        probe = probe[None]
+    wavefront = jnp.broadcast_to(probe.astype(jnp.complex64),
+                                 (batch, dim_y, dim_x))
+    for i in range(n_slice):
+        wavefront = modulate(wavefront, grid_delta[..., i], grid_beta[..., i], k)
+        wavefront, m = free_propagate_paraxial(
+            wavefront, psize_cm, s_r_cm + psize_cm * i, lmbda_nm, psize_cm)
+        wavefront = rescale_image(wavefront, m, (batch, dim_y, dim_x))
+
+    if free_prop_cm is not None:
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            wavefront = jnp.fft.fftshift(jnp.fft.fft2(wavefront), axes=(-2, -1))
+        else:
+            wavefront, m = free_propagate_paraxial(
+                wavefront, free_prop_cm, s_r_cm + psize_cm * n_slice,
+                lmbda_nm, psize_cm)
+    return wavefront
+
+
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,

@@ -28,6 +28,18 @@ __all__ = ["complex_supported", "dft_mats", "cfft2_split", "cifft2_split",
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+def set_precision(name):
+    """Set the MXU precision of the split-complex DFT matmuls.
+
+    'HIGHEST' (default) meets the 1e-6 amplitude-parity target of
+    BASELINE.md; 'HIGH' (3-pass bf16) is ~1.26x faster on v5e but accumulates
+    ~3e-4 amplitude error over 64 slices — opt-in speed mode only.
+    """
+    global _PRECISION
+    _PRECISION = getattr(jax.lax.Precision, name) if isinstance(name, str) else name
+    return _PRECISION
+
+
 @functools.lru_cache(maxsize=4)
 def complex_supported(platform=None):
     """Probe whether the default backend executes complex64 ops.

@@ -91,3 +91,16 @@ def test_fd_bpm_close_to_fresnel_for_weak_object():
     # magnitudes stay near unity for both
     assert np.abs(np.abs(out_fr).mean() - 1) < 0.1
     assert np.abs(np.abs(out_fd).mean() - 1) < 0.1
+
+
+def test_projection_multislice_runs():
+    """Cone-beam 'projection' type (paraxial + magnification resample,
+    ref util.py:473-475)."""
+    from beyond_dof_tpu.ops.multislice import multislice_propagate_projection
+    gd, gb = _phantom(16)
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    out = np.asarray(multislice_propagate_projection(
+        gd, gb, probe, 5000, 1e-7, s_r_cm=1e-4))
+    assert out.shape == (1, 16, 16)
+    assert np.isfinite(out).all()
+    assert abs(np.abs(out).mean() - 1) < 0.3

@@ -103,3 +103,47 @@ def test_object_z_sharding_matches_replicated():
     d2, b2, i2 = reconstruct_fullfield(mesh=mesh, shard_object="z", **common)
     assert i1["loss"] == i2["loss"]
     assert np.array_equal(d1, d2)
+
+
+def test_ptycho_data_parallel_runs():
+    """Ptycho engine with the (theta, position) job blocks sharded over the
+    data axis (each group = one angle, ref cnn ptychography.py:264-299)."""
+    from beyond_dof_tpu.sim.acquire import (create_ptychography_data,
+                                            grid_probe_positions)
+    from beyond_dof_tpu.recon.ptycho import reconstruct_ptychography
+    gd, gb = adhesin_phantom(16)
+    probe_size = (8, 8)
+    pos = grid_probe_positions((16, 16), probe_size, 4)
+    data = create_ptychography_data(
+        gd, gb, 5000, 1e-7, n_theta=4, probe_pos=pos, probe_size=probe_size,
+        theta_end=2 * np.pi, probe_mag_sigma=2, probe_phase_sigma=2,
+        probe_phase_max=0.5, probe_circ_mask=0.9)
+    mesh = make_mesh(n_data=2, tile_yx=(1, 1))
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(16, 16, 16),
+        data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, minibatch_size=4, energy_ev=5000,
+        psize_cm=1e-7, probe_type="gaussian", probe_mag_sigma=2,
+        probe_phase_sigma=2, probe_phase_max=0.5, save_outputs=False,
+        verbose=False, seed=0, mesh=mesh)
+    assert np.isfinite(info["loss"]).all()
+
+
+def test_profiler_trace_written(tmp_path):
+    """Chrome-trace-per-epoch UX (ref fullfield.py:558-568 -> jax.profiler)."""
+    import os
+    gd, gb = adhesin_phantom(16)
+    data = create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                 free_prop_cm=None, n_theta=4, batch_size=4,
+                                 theta_end=2 * np.pi)
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=2 * np.pi, n_epochs=1, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, energy_ev=800, psize_cm=0.67e-7,
+        minibatch_size=4, shrink_cycle=None, verbose=False, seed=0,
+        save_outputs=True, output_folder=str(tmp_path / "out"),
+        profile_epochs=(0,))
+    prof_dir = str(tmp_path / "out" / "profiling" / "epoch_0")
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found += files
+    assert found, "no profiler trace files written"
