@@ -85,11 +85,11 @@ def run_benchmark(size=256, n_slices=256, batch=1, n_iters=10, energy_ev=5000,
     # RPC-dispatched backends add O(seconds) noisy per-call overhead; run
     # enough device-side volumes that compute dominates, difference against a
     # 1-volume call, and take the min of several measurements.
-    n_iters = max(n_iters, 100)
+    n_iters = max(n_iters, 300)
     for n in (1, 1 + n_iters):
         _ = float(fn(gd_d, gb_d, pr, n))  # compile + warm up
 
-    def best_time(n, k=4):
+    def best_time(n, k=6):
         best = float("inf")
         for _ in range(k):
             t0 = time.perf_counter()

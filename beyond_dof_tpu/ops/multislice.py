@@ -263,7 +263,7 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
     :mod:`.splitfft`. Returns ``(re, im)`` of shape (B, Y, X).
     """
     from .splitfft import (cfft2_split, cexp_modulation, cmul,
-                           apply_kernel_split)
+                           apply_kernel_split_perm, permute_kernel_2d)
 
     grid_delta = jnp.asarray(grid_delta, jnp.float32)
     grid_beta = jnp.asarray(grid_beta, jnp.float32)
@@ -276,9 +276,12 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
 
     if h is None:
         h = get_kernel(delta_nm, lmbda_nm, voxel_nm, (dim_y, dim_x))
-    h_if = ifftshift2(np.asarray(h))
-    hr = jnp.asarray(np.real(h_if).astype(np.float32))
-    hi = jnp.asarray(np.imag(h_if).astype(np.float32))
+    # pre-permute the kernel into the DIF transform's frequency order: the
+    # hot loop then runs the radix-reduced permuted-order transform pair
+    # with zero on-device reordering
+    h_ifp = permute_kernel_2d(ifftshift2(np.asarray(h)))
+    hr = jnp.asarray(np.real(h_ifp).astype(np.float32))
+    hi = jnp.asarray(np.imag(h_ifp).astype(np.float32))
 
     w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
                             (batch, dim_y, dim_x))
@@ -292,7 +295,7 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
         d, b = slices
         cr, ci = cexp_modulation(d, b, k)
         re, im = cmul(re, im, cr, ci)
-        re, im = apply_kernel_split(re, im, hr, hi)
+        re, im = apply_kernel_split_perm(re, im, hr, hi)
         return (re, im), None
 
     def modulate_only(carry, d, b):
@@ -321,11 +324,11 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
         else:
             h2 = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
                             (dim_y, dim_x))
-            h2_if = ifftshift2(np.asarray(h2))
-            w_re, w_im = apply_kernel_split(
+            h2_ifp = permute_kernel_2d(ifftshift2(np.asarray(h2)))
+            w_re, w_im = apply_kernel_split_perm(
                 w_re, w_im,
-                jnp.asarray(np.real(h2_if).astype(np.float32)),
-                jnp.asarray(np.imag(h2_if).astype(np.float32)))
+                jnp.asarray(np.real(h2_ifp).astype(np.float32)),
+                jnp.asarray(np.imag(h2_ifp).astype(np.float32)))
     return w_re, w_im
 
 

@@ -98,15 +98,120 @@ def _apply_dft_last(re, im, wr, wi, wrpwi):
     return t1 - t2, t3 - t1 - t2
 
 
+# Base size at which the radix-2 recursion bottoms out in a dense matmul.
+# 128 = the MXU contraction width: the dense 128-point DFT is a perfectly
+# shaped (M, 128) @ (128, 128) matmul, and each radix level above it halves
+# the matmul flops (N*128 total MACs per row instead of N^2).
+_DFT_BASE = 128
+
+
+@functools.lru_cache(maxsize=16)
+def _twiddles(n):
+    """(cos, sin) of exp(-2 pi i j / n) for j < n/2, float32 NumPy."""
+    j = np.arange(n // 2)
+    ang = -2.0 * np.pi * j / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def dif_perm(n):
+    """Output-position -> frequency-index permutation of the DIF transform.
+
+    The decimation-in-frequency recursion below emits coefficients in
+    block-interleaved ("bit-reversed blocks of _DFT_BASE") order. Instead of
+    reordering data on device, the Fresnel kernel is permuted once on the
+    host (see :func:`permute_kernel_2d`).
+    """
+    if n <= _DFT_BASE or n % 2:
+        return np.arange(n)
+    half = dif_perm(n // 2)
+    return np.concatenate([2 * half, 2 * half + 1])
+
+
+def _dft_dif(re, im):
+    """Radix-2 DIF DFT along the last axis; output in dif_perm order.
+
+    All array accesses are contiguous half-slices (TPU lane dimension is
+    never strided); each level costs one butterfly + one twiddle multiply
+    and halves the matmul flops. Dense Karatsuba matmul at <= 128 points.
+    """
+    n = re.shape[-1]
+    if n <= _DFT_BASE or n % 2:
+        return _apply_dft_last(re, im, *dft_mats(n))
+    h = n // 2
+    ar, ai = re[..., :h], im[..., :h]
+    br, bi = re[..., h:], im[..., h:]
+    sr, si = ar + br, ai + bi                  # even-frequency branch
+    dr, di = ar - br, ai - bi                  # odd-frequency branch
+    twr, twi = _twiddles(n)
+    tr = dr * twr - di * twi
+    ti = dr * twi + di * twr
+    er, ei = _dft_dif(sr, si)
+    orr, oi = _dft_dif(tr, ti)
+    return (jnp.concatenate([er, orr], axis=-1),
+            jnp.concatenate([ei, oi], axis=-1))
+
+
+def _idft_dit(re, im):
+    """Exact inverse of :func:`_dft_dif`: consumes dif_perm order, emits
+    natural order (1/n scale included)."""
+    n = re.shape[-1]
+    if n <= _DFT_BASE or n % 2:
+        # conj trick: ID(x) = conj(D(conj(x))) / n
+        rr, ii = _apply_dft_last(re, -im, *dft_mats(n))
+        s = 1.0 / n
+        return rr * s, -ii * s
+    h = n // 2
+    sr, si = _idft_dit(re[..., :h], im[..., :h])     # x1 + x2
+    tr, ti = _idft_dit(re[..., h:], im[..., h:])     # (x1 - x2) * w
+    twr, twi = _twiddles(n)                          # conj twiddle: (twr, -twi)
+    dr = tr * twr + ti * twi
+    di = -tr * twi + ti * twr
+    return (jnp.concatenate([(sr + dr) * 0.5, (sr - dr) * 0.5], axis=-1),
+            jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=-1))
+
+
+def permute_kernel_2d(h_if):
+    """Pre-permute an (Y, X) frequency-space kernel into dif_perm order on
+    both axes, for use with the permuted-order transform pair."""
+    ny, nx = h_if.shape
+    return np.asarray(h_if)[np.ix_(dif_perm(ny), dif_perm(nx))]
+
+
+def apply_kernel_split_perm(re, im, hr_p, hi_p):
+    """Fresnel step with DIF forward / DIT inverse and a pre-permuted kernel.
+
+    Mathematically identical to :func:`apply_kernel_split` but with
+    radix-reduced matmul flops (N*128 instead of N^2 MACs per axis) and no
+    on-device reordering: the frequency-order permutation cancels between
+    the forward transform, the (permuted) kernel, and the inverse.
+    """
+    fr, fi = _dft_dif(re, im)
+    fr = jnp.swapaxes(fr, -1, -2)
+    fi = jnp.swapaxes(fi, -1, -2)
+    fr, fi = _dft_dif(fr, fi)
+    fr = jnp.swapaxes(fr, -1, -2)
+    fi = jnp.swapaxes(fi, -1, -2)
+    fr, fi = cmul(fr, fi, hr_p, hi_p)
+    fr = jnp.swapaxes(fr, -1, -2)
+    fi = jnp.swapaxes(fi, -1, -2)
+    fr, fi = _idft_dit(fr, fi)
+    fr = jnp.swapaxes(fr, -1, -2)
+    fi = jnp.swapaxes(fi, -1, -2)
+    return _idft_dit(fr, fi)
+
+
 def cfft2_split(re, im):
-    """2-D DFT over the last two axes of a split (re, im) pair."""
-    ny, nx = re.shape[-2], re.shape[-1]
-    wr_x, wi_x, ws_x = dft_mats(nx)
-    re, im = _apply_dft_last(re, im, wr_x, wi_x, ws_x)
-    wr_y, wi_y, ws_y = dft_mats(ny)
+    """2-D DFT over the last two axes of a split (re, im) pair.
+
+    Natural frequency order (dense matmul per axis). The multislice hot loop
+    uses the flop-reduced permuted-order pair instead
+    (:func:`apply_kernel_split_perm`).
+    """
+    re, im = _apply_dft_last(re, im, *dft_mats(re.shape[-1]))
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
-    re, im = _apply_dft_last(re, im, wr_y, wi_y, ws_y)
+    re, im = _apply_dft_last(re, im, *dft_mats(re.shape[-1]))
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
 
 

@@ -73,3 +73,26 @@ def test_split_forward_model_matches_complex():
 
 def test_complex_supported_on_cpu():
     assert complex_supported("cpu") is True
+
+
+def test_permuted_transform_pair_matches_fft_step():
+    """DIF-forward / permuted-kernel / DIT-inverse == fftshift-form Fresnel
+    step with the natural-order kernel."""
+    from beyond_dof_tpu.ops.splitfft import (apply_kernel_split_perm,
+                                             permute_kernel_2d, dif_perm)
+    from beyond_dof_tpu.ops.fresnel import get_kernel, ifftshift2
+    rng = np.random.RandomState(0)
+    n = 256
+    x = (rng.rand(2, n, n) + 1j * rng.rand(2, n, n)).astype(np.complex64)
+    h = get_kernel(1.0, 0.248, [1.0, 1.0, 1.0], (n, n))
+    h_if = ifftshift2(h)
+    ref = np.fft.ifft2(np.fft.fft2(x) * h_if)
+    h_p = permute_kernel_2d(h_if)
+    re, im = apply_kernel_split_perm(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                     jnp.asarray(h_p.real.astype(np.float32)),
+                                     jnp.asarray(h_p.imag.astype(np.float32)))
+    out = np.asarray(re) + 1j * np.asarray(im)
+    assert np.abs(out - ref).max() < 2e-5
+    # permutation is a bijection
+    p = dif_perm(n)
+    assert sorted(p.tolist()) == list(range(n))
