@@ -81,6 +81,43 @@ def _cmd_benchmark(args):
     print(json.dumps(result))
 
 
+def _cmd_make_mask(args):
+    """Bootstrap a finite-support mask: Paganin -> FBP -> threshold
+    (replaces the reference's coarse_phase_retrival_and_recon.py +
+    create_support_mask.py pipeline)."""
+    from .io.exchange import read_exchange_data
+    from .io import tiff
+    from .ops.tomo import paganin_support_mask
+    data = read_exchange_data(args.data)
+    thetas = -np.linspace(args.theta_st, args.theta_end, data.shape[0])
+    mask = np.asarray(paganin_support_mask(
+        np.abs(data).astype(np.float32), thetas.astype(np.float32),
+        args.psize_cm, args.dist_cm, args.energy_ev,
+        delta_beta_ratio=args.delta_beta, threshold=args.threshold))
+    out = tiff.write_tiff(mask, args.out)
+    print("Wrote support mask {} (coverage {:.1%})".format(out, mask.mean()))
+
+
+def _cmd_baseline(args):
+    """Classical baseline reconstruction (FBP or SIRT) from attenuation data
+    (replaces the reference's sirt_tomopy.py driver)."""
+    from .io.exchange import read_exchange_data
+    from .io import tiff
+    from .ops.tomo import fbp, sirt
+    from .ops.image import preprocess
+    data = read_exchange_data(args.data)
+    prj = preprocess(np.abs(data).astype(np.float64)).astype(np.float32)
+    thetas = -np.linspace(args.theta_st, args.theta_end,
+                          prj.shape[0]).astype(np.float32)
+    if args.algorithm == "sirt":
+        rec = np.asarray(sirt(prj, thetas, n_iter=args.n_iter))
+    else:
+        rec = np.asarray(fbp(prj, thetas))
+    out = tiff.write_tiff(rec, args.out)
+    print("Wrote {} reconstruction {} shape {}".format(args.algorithm, out,
+                                                       rec.shape))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="beyond_dof_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +150,27 @@ def main(argv=None):
     pb.add_argument("--batch", type=int, default=1)
     pb.add_argument("--iters", type=int, default=10)
     pb.set_defaults(fn=_cmd_benchmark)
+
+    pm = sub.add_parser("make-mask", help="Paganin+FBP finite-support mask")
+    pm.add_argument("--data", required=True)
+    pm.add_argument("--out", default="fin_sup_mask/mask")
+    pm.add_argument("--energy-ev", type=float, default=5000)
+    pm.add_argument("--psize-cm", type=float, default=1e-7)
+    pm.add_argument("--dist-cm", type=float, default=1e-4)
+    pm.add_argument("--delta-beta", type=float, default=1e3)
+    pm.add_argument("--threshold", type=float, default=1e-1)
+    pm.add_argument("--theta-st", type=float, default=0.0)
+    pm.add_argument("--theta-end", type=float, default=2 * np.pi)
+    pm.set_defaults(fn=_cmd_make_mask)
+
+    pc = sub.add_parser("baseline", help="classical FBP/SIRT reconstruction")
+    pc.add_argument("--data", required=True)
+    pc.add_argument("--out", default="baseline_recon")
+    pc.add_argument("--algorithm", choices=["fbp", "sirt"], default="fbp")
+    pc.add_argument("--n-iter", type=int, default=30)
+    pc.add_argument("--theta-st", type=float, default=0.0)
+    pc.add_argument("--theta-end", type=float, default=2 * np.pi)
+    pc.set_defaults(fn=_cmd_baseline)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -72,6 +72,22 @@ def _make_job_blocks(n_theta, probe_pos_idx, minibatch_size, n_groups, rng):
     return blocks
 
 
+def _gather_block(source, thetas_i, pos_idx, ds_level):
+    """Gather |data| for a (T, M) job block from an in-memory array or an
+    open HDF5 dataset (the reference streams ptycho data from disk per batch,
+    ref ptychography.py:132-134,448)."""
+    if isinstance(source, np.ndarray):
+        block = source[thetas_i[:, None], pos_idx]
+    else:
+        rows = []
+        for t, prow in zip(thetas_i, pos_idx):
+            rows.append(np.abs(source[int(t), list(np.asarray(prow))]))
+        block = np.stack(rows).astype(np.float32)
+    if ds_level > 1:
+        block = block[..., ::ds_level, ::ds_level]
+    return block
+
+
 def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                              data=None, theta_st=0, theta_end=PI,
                              theta_downsample=None, n_epochs="auto",
@@ -94,7 +110,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                              checkpoint_dir=None, checkpoint_every=0,
                              save_outputs=True, remat=True, verbose=True,
                              cpu_only=False, core_parallelization=True,
-                             poisson_multiplier=2e6, **kwargs):
+                             poisson_multiplier=2e6, stream=False, **kwargs):
     """Ptychographic 3D reconstruction (parameter parity with the reference,
     ref ptychography.py:19-27 + cnn additions ``dynamic_dropping``,
     ``dropping_threshold``).
@@ -106,16 +122,29 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
     rng = np.random.RandomState(seed)
     _log = print_flush if verbose else (lambda *a, **k: None)
 
+    h5_file = None
     if data is None:
-        data = read_exchange_data(os.path.join(save_path, fname))
-    prj = np.asarray(data)
+        if stream:
+            from ..io.exchange import open_exchange_data
+            h5_file, prj = open_exchange_data(os.path.join(save_path, fname))
+        else:
+            prj = np.asarray(read_exchange_data(os.path.join(save_path, fname)))
+    else:
+        prj = np.asarray(data)
     n_theta_full = prj.shape[0]
     theta = -np.linspace(theta_st, theta_end, n_theta_full, dtype="float32")
+    theta_index = np.arange(n_theta_full)
     if theta_downsample is not None:
-        prj = prj[::theta_downsample]
         theta = theta[::theta_downsample]
+        theta_index = theta_index[::theta_downsample]
+        if isinstance(prj, np.ndarray):
+            prj = prj[::theta_downsample]
     n_theta = len(theta)
-    prj_mag = np.abs(prj).astype(np.float32)
+    if isinstance(prj, np.ndarray):
+        prj_mag = np.abs(prj).astype(np.float32)
+        theta_index = np.arange(n_theta)
+    else:
+        prj_mag = prj  # lazy h5 dataset; magnitudes taken per block
 
     probe_pos = np.asarray(probe_pos, dtype=int)
     n_pos_full = len(probe_pos)
@@ -137,7 +166,13 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         ds_level = 2 ** level
         _log("Multiscale downsampling level: {}".format(ds_level))
         this_obj_size = [int(x / ds_level) for x in obj_size]
-        this_prj_mag = prj_mag[:, :, ::ds_level, ::ds_level] if ds_level > 1 else prj_mag
+        if isinstance(prj_mag, np.ndarray):
+            this_prj_mag = (prj_mag[:, :, ::ds_level, ::ds_level]
+                            if ds_level > 1 else prj_mag)
+            block_ds = 1
+        else:
+            this_prj_mag = prj_mag  # lazy: downsample per gathered block
+            block_ds = ds_level
         this_probe_size = [s // ds_level for s in probe_size] if ds_level > 1 else list(probe_size)
         this_pos = probe_pos // ds_level if ds_level > 1 else probe_pos
         pad_arr = compute_pad_arr(this_pos, this_probe_size, this_obj_size)
@@ -177,10 +212,15 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         back_prop_cm = ((free_prop_cm + psize_cm * this_obj_size[2])
                         if (free_prop_cm is not None and not isinstance(free_prop_cm, str))
                         else psize_cm * this_obj_size[2])
+        if probe_type == "optimizable" and probe_initial is None:
+            # backprop probe init needs the measured magnitudes in memory
+            probe_data = np.asarray(prj[:]).reshape(-1, *prj.shape[2:])
+        else:
+            probe_data = None
         probe = build_probe(probe_type, this_probe_size,
                             probe_initial=probe_initial,
                             pupil_function=pupil_function,
-                            data=prj.reshape(-1, *prj.shape[2:]),
+                            data=probe_data,
                             back_prop_nm=back_prop_cm * 1e7,
                             energy_ev=energy_ev, psize_nm=psize_cm * 1e7,
                             **kwargs)
@@ -294,8 +334,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
             for thetas_i, pos_idx in blocks:
                 theta_block = jnp.asarray(theta[thetas_i])
                 pos_block = jnp.asarray(this_pos[pos_idx], jnp.int32)
-                mag_block = jnp.asarray(
-                    this_prj_mag[thetas_i[:, None], pos_idx])
+                mag_block = jnp.asarray(_gather_block(
+                    this_prj_mag, theta_index[thetas_i], pos_idx, block_ds))
                 if mesh is not None:
                     mag_block = jax.device_put(mag_block, mag_shard)
                 params, opt_state, loss, err, reg = step(
@@ -322,9 +362,12 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                 losses = np.empty(len(active_pos_idx), np.float32)
                 for c0 in range(0, len(active_pos_idx), n_dp_batch):
                     sel = active_pos_idx[c0:c0 + n_dp_batch]
+                    blk = _gather_block(this_prj_mag,
+                                        np.asarray([theta_index[0]]),
+                                        np.asarray(sel)[None], block_ds)[0]
                     pl = position_loss(params, jnp.float32(theta[0]),
                                        jnp.asarray(this_pos[sel], jnp.int32),
-                                       jnp.asarray(this_prj_mag[0, sel]))
+                                       jnp.asarray(blk))
                     losses[c0:c0 + len(sel)] = np.asarray(pl)
                 keep = losses >= dropping_threshold
                 if keep.sum() >= minibatch_size:
@@ -366,6 +409,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         prev_level = (res_delta, res_beta)
         _log("Current iteration finished.")
 
+    if h5_file is not None:
+        h5_file.close()
     info["probe"] = probe_final
     info["output_folder"] = output_folder
     info["wall_time_s"] = time.time() - t_zero

@@ -92,3 +92,22 @@ def test_ptycho_optimizable_probe_updates(ptycho_setup):
         probe_learning_rate=1e-3, save_outputs=False, verbose=False, seed=0)
     # probe moved away from its initial value
     assert np.abs(info["probe"] - 1).max() > 0
+
+
+def test_ptycho_streaming_from_h5(ptycho_setup, tmp_path):
+    """Per-block HDF5 streaming (the reference reads ptycho data from disk
+    per batch, ref ptychography.py:132-134,448)."""
+    from beyond_dof_tpu.io.exchange import write_exchange_data
+    gd, gb, pos, probe_size, data = ptycho_setup
+    fname = str(tmp_path / "p.h5")
+    write_exchange_data(fname, data)
+    common = dict(probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24),
+                  theta_end=2 * np.pi, n_epochs=2, alpha_d=0, alpha_b=0,
+                  gamma=0, learning_rate=1e-7, minibatch_size=9,
+                  energy_ev=5000, psize_cm=1e-7, probe_type="gaussian",
+                  probe_mag_sigma=3, probe_phase_sigma=3, probe_phase_max=0.5,
+                  save_outputs=False, verbose=False, seed=0)
+    d1, b1, i1 = reconstruct_ptychography(fname=fname, stream=True, **common)
+    d2, b2, i2 = reconstruct_ptychography(data=data, **common)
+    assert np.allclose(i1["loss"], i2["loss"], rtol=1e-6)
+    assert np.allclose(d1, d2)
