@@ -9,7 +9,6 @@ kept alongside.
 
 import os
 
-import numpy as np
 import jax
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint_step"]

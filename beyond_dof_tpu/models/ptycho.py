@@ -62,7 +62,7 @@ def extract_patches(vol, pos_batch, probe_size, pad_arr):
 def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
                    energy_ev, psize_cm, probe_size, pad_arr, h=None,
                    probe_mask=None, free_prop_cm="inf",
-                   forward_algorithm="fresnel", remat=True):
+                   forward_algorithm="fresnel", remat=True, kernel_size=17):
     """Exit waves for one angle and a minibatch of probe positions.
 
     Rotate -> pad (static) -> window gather -> multislice -> far field
@@ -84,8 +84,15 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
         exiting = multislice_propagate_fd(
             delta_patches, beta_patches, probe, energy_ev, psize_cm,
             free_prop_cm=free_prop_cm, remat=remat)
+    elif forward_algorithm == "conv":
+        # truncated-kernel conv propagator on the probe windows — the cnn
+        # engine's ptycho path (ref cnn_propagator/ptychography.py:74-76)
+        from ..ops.tiled import multislice_propagate_cnn
+        exiting = multislice_propagate_cnn(
+            delta_patches, beta_patches, probe, energy_ev, psize_cm,
+            kernel_size=kernel_size, free_prop_cm=free_prop_cm, remat=remat)
     else:
-        raise ValueError("forward_algorithm must be 'fresnel' or 'fd'")
+        raise ValueError("forward_algorithm must be 'fresnel', 'fd', or 'conv'")
     if probe_mask is not None:
         exiting = exiting * probe_mask
     return exiting

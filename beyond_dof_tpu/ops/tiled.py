@@ -28,7 +28,6 @@ TPU-first redesign
    matches its incident value (ref propagation.py:109-110).
 """
 
-from functools import partial
 
 import numpy as np
 import jax

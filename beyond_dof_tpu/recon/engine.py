@@ -16,7 +16,6 @@ util.py:280-291):
   over parameter labels (ref fullfield.py:293-303,442-455).
 """
 
-from functools import partial
 
 import numpy as np
 import jax

@@ -12,7 +12,8 @@ reference (ref fullfield.py:412).
 
 Feature parity checklist (SURVEY §2/L4): optimizable object delta/beta and
 probe; object_type normal/phase_only/absorption_only; probe types
-plane/fixed/optimizable/gaussian (point = spherical path, see recon/conebeam);
+plane/fixed/optimizable/gaussian/point (point routes the forward through the
+cone-beam spherical propagator, ops/spherical.py);
 magnitude-MSE loss; L1 + 3-axis TV regularizers (+probe TV); finite-support
 mask with release epoch; shrink-wrap; multiscale (coarse-to-fine) with
 upsampled re-init; minibatching over theta; gradient accumulation with dynamic
@@ -22,8 +23,6 @@ traces; summary.txt provenance; Orbax checkpoint/resume (new).
 
 import os
 import time
-import warnings
-from functools import partial
 
 import numpy as np
 import jax

@@ -34,9 +34,9 @@ from ..ops.regularizers import regularization_term, probe_tv
 from ..ops.image import circ_mask, gaussian_filter_nd
 from ..io import tiff
 from ..io.exchange import read_exchange_data
-from ..io.checkpoint import save_checkpoint, restore_checkpoint
+from ..io.checkpoint import save_checkpoint
 from ..parallel.mesh import data_sharding
-from ..utils.misc import print_flush, create_summary, ptycho_output_folder, split_tasks
+from ..utils.misc import print_flush, create_summary, ptycho_output_folder
 from .engine import make_optimizer, apply_projection
 
 __all__ = ["reconstruct_ptychography"]
@@ -110,7 +110,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                              checkpoint_dir=None, checkpoint_every=0,
                              save_outputs=True, remat=True, verbose=True,
                              cpu_only=False, core_parallelization=True,
-                             poisson_multiplier=2e6, stream=False, **kwargs):
+                             poisson_multiplier=2e6, stream=False, kernel_size=17, **kwargs):
     """Ptychographic 3D reconstruction (parameter parity with the reference,
     ref ptychography.py:19-27 + cnn additions ``dynamic_dropping``,
     ``dropping_threshold``).
@@ -261,7 +261,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                     energy_ev, psize_cm * ds_level, tuple(this_probe_size),
                     pad_arr, h=h, probe_mask=probe_mask,
                     free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
-                    forward_algorithm=forward_algorithm, remat=remat)
+                    forward_algorithm=forward_algorithm, remat=remat,
+                    kernel_size=kernel_size)
                 return jnp.mean((jnp.abs(exiting) - mag) ** 2) * n_pos_total
 
             group_losses = jax.vmap(per_group)(theta_block, pos_block, mag_block)
@@ -297,7 +298,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                 energy_ev, psize_cm * ds_level, tuple(this_probe_size), pad_arr,
                 h=h, probe_mask=probe_mask,
                 free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
-                forward_algorithm=forward_algorithm, remat=remat)
+                forward_algorithm=forward_algorithm, remat=remat,
+                kernel_size=kernel_size)
             return jnp.mean((jnp.abs(exiting) - mag_block) ** 2, axis=(1, 2))
 
         if save_outputs:

@@ -111,3 +111,16 @@ def test_ptycho_streaming_from_h5(ptycho_setup, tmp_path):
     d2, b2, i2 = reconstruct_ptychography(data=data, **common)
     assert np.allclose(i1["loss"], i2["loss"], rtol=1e-6)
     assert np.allclose(d1, d2)
+
+
+def test_ptycho_conv_forward(ptycho_setup):
+    """Conv-propagator ptycho path (ref cnn_propagator/ptychography.py:74-76)."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24), data=data,
+        theta_end=2 * np.pi, n_epochs=1, alpha_d=0, alpha_b=0, gamma=0,
+        learning_rate=1e-9, minibatch_size=9, energy_ev=5000, psize_cm=1e-7,
+        probe_type="gaussian", probe_mag_sigma=3, probe_phase_sigma=3,
+        probe_phase_max=0.5, save_outputs=False, verbose=False, seed=0,
+        forward_algorithm="conv", kernel_size=5)
+    assert np.isfinite(info["loss"]).all()
