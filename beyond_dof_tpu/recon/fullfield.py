@@ -84,23 +84,41 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 alpha, alpha_d, alpha_b, gamma, forward_algorithm,
                 optimize_probe, pupil_function, shrink_cycle,
                 n_epochs_mask_release, shrink_threshold, propagate_last, remat,
-                kernel_size=17, tile_mesh=None, forward_kwargs=None):
+                kernel_size=17, tile_mesh=None, forward_kwargs=None,
+                split_complex=False):
     """One fused train step (value_and_grad + Adam + projections + shrink-wrap)."""
     forward_kwargs = forward_kwargs or {}
 
     def loss_fn(params, mask, theta_batch, prj_mag):
         obj_delta = params["delta"] * mask
         obj_beta = params["beta"] * mask
-        if optimize_probe:
-            probe = jax.lax.complex(params["probe_real"], params["probe_imag"])
+        if split_complex:
+            # complex-dtype-free forward for TPU runtimes without complex64
+            # support (the loss only consumes magnitudes)
+            from ..models.fullfield import rotate_and_project_batch_split
+            if optimize_probe:
+                p_re, p_im = params["probe_real"], params["probe_imag"]
+            else:
+                p_re = jnp.real(probe_const).astype(jnp.float32)
+                p_im = jnp.imag(probe_const).astype(jnp.float32)
+            re, im = rotate_and_project_batch_split(
+                obj_delta, obj_beta, theta_batch, p_re, p_im, energy_ev,
+                psize_cm, free_prop_cm=free_prop_cm, h=h,
+                propagate_last=propagate_last, remat=remat)
+            err = jnp.mean((jnp.sqrt(re * re + im * im) - prj_mag) ** 2)
         else:
-            probe = probe_const
-        exiting = rotate_and_project_batch(
-            obj_delta, obj_beta, theta_batch, probe, energy_ev, psize_cm,
-            free_prop_cm=free_prop_cm, h=h, forward_algorithm=forward_algorithm,
-            propagate_last=propagate_last, remat=remat,
-            kernel_size=kernel_size, tile_mesh=tile_mesh, **forward_kwargs)
-        err = fullfield_loss(exiting, prj_mag)
+            if optimize_probe:
+                probe = jax.lax.complex(params["probe_real"],
+                                        params["probe_imag"])
+            else:
+                probe = probe_const
+            exiting = rotate_and_project_batch(
+                obj_delta, obj_beta, theta_batch, probe, energy_ev, psize_cm,
+                free_prop_cm=free_prop_cm, h=h,
+                forward_algorithm=forward_algorithm,
+                propagate_last=propagate_last, remat=remat,
+                kernel_size=kernel_size, tile_mesh=tile_mesh, **forward_kwargs)
+            err = fullfield_loss(exiting, prj_mag)
         reg = regularization_term(obj_delta, obj_beta, alpha_d, alpha_b, gamma,
                                   alpha=alpha)
         loss = err + reg
@@ -108,8 +126,7 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
             loss = loss + probe_tv(params["probe_real"])
         return loss, (err, reg)
 
-    @jax.jit
-    def step(params, opt_state, mask, theta_batch, prj_mag, epoch):
+    def _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch):
         (loss, (err, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, mask, theta_batch, prj_mag)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -120,7 +137,30 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                                   shrink_threshold)
         return params, opt_state, mask, loss, err, reg
 
-    return step
+    @jax.jit
+    def step(params, opt_state, mask, theta_batch, prj_mag, epoch):
+        return _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch)
+
+    @jax.jit
+    def epoch_scan(params, opt_state, mask, theta_batches, prj_mags, epoch):
+        """All minibatches of one epoch in a single device program.
+
+        ``theta_batches``: (n_batch, G); ``prj_mags``: (n_batch, G, Y, X).
+        Removes per-batch host dispatch (O(seconds) on RPC-tunneled TPUs) —
+        one call per epoch instead of one per minibatch.
+        """
+        def body(carry, inp):
+            params, opt_state, mask = carry
+            th, mag = inp
+            params, opt_state, mask, loss, err, reg = _step_impl(
+                params, opt_state, mask, th, mag, epoch)
+            return (params, opt_state, mask), (loss, err, reg)
+
+        (params, opt_state, mask), (losses, errs, regs) = jax.lax.scan(
+            body, (params, opt_state, mask), (theta_batches, prj_mags))
+        return params, opt_state, mask, losses, errs, regs
+
+    return step, epoch_scan
 
 
 def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
@@ -145,7 +185,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           propagate_last=True, remat=True, cpu_only=False,
                           core_parallelization=True, verbose=True,
                           kernel_size=17, tile_mesh=None,
-                          shard_object=None, **kwargs):
+                          shard_object=None, split_complex="auto",
+                          epoch_in_one_call=False, **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
     Parameter names and semantics follow the reference engine
@@ -251,13 +292,22 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
             fwd_kwargs = {k: kwargs[k] for k in
                           ("dist_to_source_cm", "det_psize_cm",
                            "theta_max", "phi_max") if k in kwargs}
-        step = _build_step(tx, probe, energy_ev, psize_cm * ds_level,
-                           free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
-                           eff_forward, optimize_probe, pupil,
-                           shrink_cycle, n_epochs_mask_release,
-                           shrink_threshold, propagate_last, remat,
-                           kernel_size=kernel_size, tile_mesh=tile_mesh,
-                           forward_kwargs=fwd_kwargs)
+        # 'auto': use the split-complex forward when the backend rejects
+        # complex64 (only the fresnel path has a split twin)
+        if split_complex == "auto":
+            from ..ops.splitfft import complex_supported
+            use_split = (eff_forward == "fresnel" and tile_mesh is None
+                         and not complex_supported())
+        else:
+            use_split = bool(split_complex)
+        step, epoch_scan = _build_step(
+            tx, probe, energy_ev, psize_cm * ds_level,
+            free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
+            eff_forward, optimize_probe, pupil,
+            shrink_cycle, n_epochs_mask_release,
+            shrink_threshold, propagate_last, remat,
+            kernel_size=kernel_size, tile_mesh=tile_mesh,
+            forward_kwargs=fwd_kwargs, split_complex=use_split)
 
         mask_dev = jnp.asarray(mask)
         batch_shard = data_sharding(mesh, 1) if mesh is not None else None
@@ -336,17 +386,32 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                 extra = rng.choice(order, tot - (n_theta % tot), replace=True)
                 order = np.concatenate([order, extra])
             current_loss = current_reg = None
-            for i_batch in range(n_batch):
-                idx = order[i_batch * tot:(i_batch + 1) * tot]
-                theta_batch = jnp.asarray(theta[idx])
-                prj_mag = jnp.asarray(prj_mag_all[idx])
+            if epoch_in_one_call:
+                idx = order[: n_batch * tot].reshape(n_batch, tot)
+                theta_batches = jnp.asarray(theta[idx])
+                prj_mags = jnp.asarray(prj_mag_all[idx])
                 if mesh is not None:
-                    theta_batch = jax.device_put(theta_batch, batch_shard)
-                    prj_mag = jax.device_put(prj_mag, prj_shard)
-                params, opt_state, mask_dev, loss, err, reg = step(
-                    params, opt_state, mask_dev, theta_batch, prj_mag,
+                    theta_batches = jax.device_put(theta_batches,
+                                                   data_sharding(mesh, 2, 1))
+                    prj_mags = jax.device_put(prj_mags,
+                                              data_sharding(mesh, 4, 1))
+                params, opt_state, mask_dev, losses, errs, regs = epoch_scan(
+                    params, opt_state, mask_dev, theta_batches, prj_mags,
                     jnp.int32(epoch))
-                current_loss, current_reg = float(loss), float(reg)
+                current_loss = float(losses[-1])
+                current_reg = float(regs[-1])
+            else:
+                for i_batch in range(n_batch):
+                    idx = order[i_batch * tot:(i_batch + 1) * tot]
+                    theta_batch = jnp.asarray(theta[idx])
+                    prj_mag = jnp.asarray(prj_mag_all[idx])
+                    if mesh is not None:
+                        theta_batch = jax.device_put(theta_batch, batch_shard)
+                        prj_mag = jax.device_put(prj_mag, prj_shard)
+                    params, opt_state, mask_dev, loss, err, reg = step(
+                        params, opt_state, mask_dev, theta_batch, prj_mag,
+                        jnp.int32(epoch))
+                    current_loss, current_reg = float(loss), float(reg)
             if profiling:
                 jax.profiler.stop_trace()
             loss_ls.append(current_loss)

@@ -110,3 +110,17 @@ def test_checkpoint_resume(small_dataset, tmp_path):
                                           checkpoint_every=1, **kwargs)
     assert len(info2["loss"]) == 2  # only epochs 2,3 ran
     assert info2["loss"][-1] < info1["loss"][0]
+
+
+def test_epoch_in_one_call_matches_per_batch(small_dataset):
+    """One jitted lax.scan over all minibatches == per-batch dispatch."""
+    gd, gb, data = small_dataset
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, energy_ev=800,
+                  psize_cm=0.67e-7, minibatch_size=10, shrink_cycle=None,
+                  save_outputs=False, verbose=False, propagate_last=False,
+                  seed=0, random_theta=False)
+    d1, b1, i1 = reconstruct_fullfield(epoch_in_one_call=False, **common)
+    d2, b2, i2 = reconstruct_fullfield(epoch_in_one_call=True, **common)
+    assert np.allclose(i1["loss"], i2["loss"], rtol=1e-5)
+    assert np.allclose(d1, d2, atol=1e-10)
