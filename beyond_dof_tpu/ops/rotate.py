@@ -4,8 +4,8 @@ TPU-native rebuild of the reference rotation layer:
 
 * the per-angle bilinear volume rotation done with ``tf.contrib.image.rotate``
   in every TF engine (ref tensorflow_recon/fullfield.py:96, simulation.py:86
-  uses ``scipy.ndimage.rotate`` with the same geometry), here a
-  ``map_coordinates`` gather — differentiable for free under ``jax.grad``;
+  uses ``scipy.ndimage.rotate`` with the same geometry), here four flat plane
+  gathers with 2-D index math — differentiable for free under ``jax.grad``;
 * the precomputed nearest-neighbor **rotation lookup tables**
   (ref tensorflow_recon/util.py:721-826, cnn_propagator/util.py:294-402),
   kept as an optional exact-parity path (a flat gather, which is how the
@@ -19,7 +19,6 @@ rotation axis along Y; rotation therefore acts on the (X, Z) plane
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.scipy.ndimage import map_coordinates
 
 __all__ = [
     "rotate_volume",
@@ -53,15 +52,48 @@ def rotate_volume(vol, theta, order=1, cval=0.0):
     Bilinear (order=1, differentiable) or nearest (order=0). Fills with
     ``cval`` outside, matching the BILINEAR/black-fill behavior of
     ``tf.contrib.image.rotate`` (ref fullfield.py:96).
+
+    The rotation is the same for every Y row, so the index math is 2-D
+    (a (X, Z) map) and the interpolation is four plane gathers on the
+    flattened (X*Z) axis — not a 3-D ``map_coordinates`` (which would
+    materialize three full-volume coordinate arrays and eight gathers).
     """
     dim_y, dim_x, dim_z = vol.shape
     x_src, z_src = _rot_coords(dim_x, dim_z, theta)
-    yy = jnp.broadcast_to(jnp.arange(dim_y, dtype=jnp.float32)[:, None, None],
-                          (dim_y, dim_x, dim_z))
-    coords = [yy,
-              jnp.broadcast_to(x_src[None], (dim_y, dim_x, dim_z)),
-              jnp.broadcast_to(z_src[None], (dim_y, dim_x, dim_z))]
-    return map_coordinates(vol, coords, order=order, mode="constant", cval=cval)
+    flat = vol.reshape(dim_y, dim_x * dim_z)
+
+    if order == 0:
+        xi = jnp.round(x_src).astype(jnp.int32)
+        zi = jnp.round(z_src).astype(jnp.int32)
+        inside = ((xi >= 0) & (xi <= dim_x - 1) & (zi >= 0) & (zi <= dim_z - 1))
+        idx = (jnp.clip(xi, 0, dim_x - 1) * dim_z
+               + jnp.clip(zi, 0, dim_z - 1)).ravel()
+        out = jnp.take(flat, idx, axis=1).reshape(dim_y, dim_x, dim_z)
+        return jnp.where(inside[None], out, cval)
+
+    x0 = jnp.floor(x_src)
+    z0 = jnp.floor(z_src)
+    wx = x_src - x0
+    wz = z_src - z0
+    x0 = x0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+
+    def corner(xi, zi):
+        inside = ((xi >= 0) & (xi <= dim_x - 1) & (zi >= 0) & (zi <= dim_z - 1))
+        idx = (jnp.clip(xi, 0, dim_x - 1) * dim_z
+               + jnp.clip(zi, 0, dim_z - 1)).ravel()
+        vals = jnp.take(flat, idx, axis=1).reshape(dim_y, dim_x, dim_z)
+        return jnp.where(inside[None], vals, cval)
+
+    g00 = corner(x0, z0)
+    g01 = corner(x0, z0 + 1)
+    g10 = corner(x0 + 1, z0)
+    g11 = corner(x0 + 1, z0 + 1)
+    w00 = ((1 - wx) * (1 - wz))[None]
+    w01 = ((1 - wx) * wz)[None]
+    w10 = (wx * (1 - wz))[None]
+    w11 = (wx * wz)[None]
+    return g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
 
 
 def rotate_stack(vols, theta, order=1, cval=0.0):

@@ -120,6 +120,20 @@ def _conv_step(w_pad, Gy, Gx):
     return jnp.einsum("xj,bij->bix", Gx, tmp)
 
 
+def _kar_einsum(spec, gr, gi, wr, wi):
+    """Karatsuba complex einsum on split pairs: (gr+i gi) . (wr+i wi)."""
+    t1 = jnp.einsum(spec, gr, wr)
+    t2 = jnp.einsum(spec, gi, wi)
+    t3 = jnp.einsum(spec, gr + gi, wr + wi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _conv_step_split(wr, wi, GyR, GyI, GxR, GxI):
+    """Split-complex twin of :func:`_conv_step` (for complex-free backends)."""
+    tr, ti = _kar_einsum("ij,bjx->bix", GyR, GyI, wr, wi)
+    return _kar_einsum("xj,bij->bix", GxR, GxI, tr, ti)
+
+
 def _norm_psize(psize_cm):
     psize_cm = np.asarray(psize_cm, dtype=np.float64)
     if psize_cm.ndim == 0:
@@ -291,3 +305,173 @@ def multislice_propagate_tiled(grid_delta, grid_beta, probe, energy_ev, psize_cm
         out = _free_space_cnn(out, free_prop_cm, lmbda_nm, voxel_nm,
                               (dim_y, dim_x), size_nm)
     return out
+
+
+def multislice_propagate_cnn_split(grid_delta, grid_beta, probe_re, probe_im,
+                                   energy_ev, psize_cm, kernel_size=17,
+                                   free_prop_cm=None, remat=True,
+                                   renormalize=True):
+    """Split-complex serial truncated-kernel multislice (no complex dtypes).
+
+    Same physics/edge-tracking/renormalization as
+    :func:`multislice_propagate_cnn`, carried as (re, im) float32 pairs for
+    TPU runtime builds without complex64 support. Returns ``(re, im)``.
+    The final free-space step (if any) runs through the split matmul-DFT.
+    """
+    assert kernel_size % 2 == 1, "kernel_size must be an odd number."
+    from .splitfft import apply_kernel_split_perm, permute_kernel_2d, cfft2_split
+
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    n_batch, dim_y, dim_x, n_slice = grid_delta.shape
+    psize = _norm_psize(psize_cm)
+    voxel_nm = psize * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = voxel_nm[-1]
+    k = np.float32(2.0 * PI * delta_nm / lmbda_nm)
+    size_nm = voxel_nm * np.array([dim_y, dim_x, n_slice])
+
+    ky, kx, scale = truncated_kernel(delta_nm, lmbda_nm, voxel_nm,
+                                     (dim_y, dim_x), kernel_size)
+    Gy, Gx = conv_matrices(ky, kx, scale, (dim_y, dim_x))
+    GyR = jnp.asarray(np.real(Gy))
+    GyI = jnp.asarray(np.imag(Gy))
+    GxR = jnp.asarray(np.real(Gx))
+    GxI = jnp.asarray(np.imag(Gx))
+    ksum = complex(scale * ky.sum() * kx.sum())
+    pad = (kernel_size - 1) // 2
+
+    wr = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                          (n_batch, dim_y, dim_x))
+    wi = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                          (n_batch, dim_y, dim_x))
+    init_r, init_i = wr[0, 0, 0], wi[0, 0, 0]
+
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+    pad_mask = jnp.pad(jnp.ones((dim_y, dim_x), jnp.float32),
+                       ((pad, pad), (pad, pad)), constant_values=0.0)
+
+    def step(carry, slices):
+        wr, wi, er, ei = carry
+        d, b = slices
+        amp = jnp.exp(-k * b)
+        cr = amp * jnp.cos(k * d)
+        ci = amp * jnp.sin(k * d)
+        wr, wi = wr * cr - wi * ci, wr * ci + wi * cr
+        wrp = jnp.pad(wr, ((0, 0), (pad, pad), (pad, pad)))
+        wip = jnp.pad(wi, ((0, 0), (pad, pad), (pad, pad)))
+        wrp = jnp.where(pad_mask == 0, er, wrp)
+        wip = jnp.where(pad_mask == 0, ei, wip)
+        wr, wi = _conv_step_split(wrp, wip, GyR, GyI, GxR, GxI)
+        er, ei = (er * np.float32(ksum.real) - ei * np.float32(ksum.imag),
+                  er * np.float32(ksum.imag) + ei * np.float32(ksum.real))
+        return (wr, wi, er, ei), None
+
+    if remat:
+        step = jax.checkpoint(step)
+    (wr, wi, er, ei), _ = jax.lax.scan(
+        step, (wr, wi, jnp.float32(1.0), jnp.float32(0.0)), (delta_z, beta_z))
+
+    if renormalize:
+        # w *= (init / w[0,0,0]) in split arithmetic
+        fr, fi = wr[0, 0, 0], wi[0, 0, 0]
+        denom = fr * fr + fi * fi
+        sr = (init_r * fr + init_i * fi) / denom
+        si = (init_i * fr - init_r * fi) / denom
+        wr, wi = wr * sr - wi * si, wr * si + wi * sr
+
+    if free_prop_cm is not None:
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            wr, wi = cfft2_split(wr, wi)
+            wr = jnp.fft.fftshift(wr, axes=(-2, -1))
+            wi = jnp.fft.fftshift(wi, axes=(-2, -1))
+        else:
+            h = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                           (dim_y, dim_x))
+            h_p = permute_kernel_2d(ifftshift2(np.asarray(h)))
+            wr, wi = apply_kernel_split_perm(
+                wr, wi, jnp.asarray(np.real(h_p).astype(np.float32)),
+                jnp.asarray(np.imag(h_p).astype(np.float32)))
+    return wr, wi
+
+
+def multislice_propagate_tiled_split(grid_delta, grid_beta, probe_re, probe_im,
+                                     energy_ev, psize_cm, mesh, kernel_size=17,
+                                     remat=True, renormalize=True):
+    """Split-complex halo-exchange tiled multislice over a (ty, tx) mesh.
+
+    The complex-free twin of :func:`multislice_propagate_tiled` — per-slice
+    ppermute halo exchange of (re, im) strips over ICI. Returns ``(re, im)``.
+    """
+    assert kernel_size % 2 == 1, "kernel_size must be an odd number."
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    n_batch, dim_y, dim_x, n_slice = grid_delta.shape
+    n_ty = mesh.shape["ty"]
+    n_tx = mesh.shape["tx"]
+    assert dim_y % n_ty == 0 and dim_x % n_tx == 0
+    tile_y, tile_x = dim_y // n_ty, dim_x // n_tx
+    pad = (kernel_size - 1) // 2
+    assert pad <= tile_y and pad <= tile_x
+
+    psize = _norm_psize(psize_cm)
+    voxel_nm = psize * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = voxel_nm[-1]
+    k = np.float32(2.0 * PI * delta_nm / lmbda_nm)
+
+    ky, kx, scale = truncated_kernel(delta_nm, lmbda_nm, voxel_nm,
+                                     (dim_y, dim_x), kernel_size)
+    Gy, Gx = conv_matrices(ky, kx, scale, (tile_y, tile_x))
+    GyR = jnp.asarray(np.real(Gy))
+    GyI = jnp.asarray(np.imag(Gy))
+    GxR = jnp.asarray(np.real(Gx))
+    GxI = jnp.asarray(np.imag(Gx))
+    ksum = complex(scale * ky.sum() * kx.sum())
+
+    probe_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                                (n_batch, dim_y, dim_x))
+    probe_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                                (n_batch, dim_y, dim_x))
+
+    def tile_fn(gd, gb, wr0, wi0):
+        dz = jnp.moveaxis(gd, -1, 0)
+        bz = jnp.moveaxis(gb, -1, 0)
+
+        def step(carry, slices):
+            wr, wi, er, ei = carry
+            d, b = slices
+            amp = jnp.exp(-k * b)
+            cr = amp * jnp.cos(k * d)
+            ci = amp * jnp.sin(k * d)
+            wr, wi = wr * cr - wi * ci, wr * ci + wi * cr
+            wrp = halo_exchange_1d(wr, pad, 1, "ty", edge_val=er)
+            wrp = halo_exchange_1d(wrp, pad, 2, "tx", edge_val=er)
+            wip = halo_exchange_1d(wi, pad, 1, "ty", edge_val=ei)
+            wip = halo_exchange_1d(wip, pad, 2, "tx", edge_val=ei)
+            wr, wi = _conv_step_split(wrp, wip, GyR, GyI, GxR, GxI)
+            er, ei = (er * np.float32(ksum.real) - ei * np.float32(ksum.imag),
+                      er * np.float32(ksum.imag) + ei * np.float32(ksum.real))
+            return (wr, wi, er, ei), None
+
+        step_fn = jax.checkpoint(step) if remat else step
+        (wr, wi, er, ei), _ = jax.lax.scan(
+            step_fn, (wr0, wi0, jnp.float32(1.0), jnp.float32(0.0)), (dz, bz))
+        return wr, wi
+
+    wr, wi = shard_map(tile_fn, mesh,
+                       in_specs=(P(None, "ty", "tx", None),
+                                 P(None, "ty", "tx", None),
+                                 P(None, "ty", "tx"), P(None, "ty", "tx")),
+                       out_specs=(P(None, "ty", "tx"), P(None, "ty", "tx")))(
+        grid_delta, grid_beta, probe_re, probe_im)
+
+    if renormalize:
+        fr, fi = wr[0, 0, 0], wi[0, 0, 0]
+        init_r, init_i = probe_re[0, 0, 0], probe_im[0, 0, 0]
+        denom = fr * fr + fi * fi
+        sr = (init_r * fr + init_i * fi) / denom
+        si = (init_i * fr - init_r * fi) / denom
+        wr, wi = wr * sr - wi * si, wr * si + wi * sr
+    return wr, wi

@@ -117,3 +117,36 @@ def test_cnn_free_prop_inf(phantom32):
     out = np.asarray(multislice_propagate_cnn(gd, gb, probe, 5000, 1e-7,
                                               kernel_size=9, free_prop_cm="inf"))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_split_cnn_matches_complex_cnn(phantom32):
+    """Split-complex conv propagator == complex conv propagator."""
+    from beyond_dof_tpu.ops.tiled import multislice_propagate_cnn_split
+    gd, gb, probe = phantom32
+    pr = np.real(probe).astype(np.float32)
+    pi_ = np.imag(probe).astype(np.float32)
+    for fp in [None, 1e-4, "inf"]:
+        ref = np.asarray(multislice_propagate_cnn(gd, gb, probe, 5000, 1e-7,
+                                                  kernel_size=9, free_prop_cm=fp))
+        re, im = multislice_propagate_cnn_split(gd, gb, pr, pi_, 5000, 1e-7,
+                                                kernel_size=9, free_prop_cm=fp)
+        out = np.asarray(re) + 1j * np.asarray(im)
+        assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1) < 2e-5
+
+
+def test_split_tiled_matches_split_serial(phantom32):
+    """Split-complex halo-exchange propagator == split serial (2x2 mesh)."""
+    from beyond_dof_tpu.ops.tiled import (multislice_propagate_cnn_split,
+                                          multislice_propagate_tiled_split)
+    gd, gb, probe = phantom32
+    pr = np.real(probe).astype(np.float32)
+    pi_ = np.imag(probe).astype(np.float32)
+    mesh = make_mesh(n_data=1, tile_yx=(2, 2))
+    re1, im1 = multislice_propagate_cnn_split(gd, gb, pr, pi_, 5000, 1e-7,
+                                              kernel_size=9)
+    re2, im2 = multislice_propagate_tiled_split(gd, gb, pr, pi_, 5000, 1e-7,
+                                                mesh, kernel_size=9)
+    # per-tile vs whole-plane matmuls group the summations differently;
+    # agreement is to f32 reduction-order tolerance
+    assert np.abs(np.asarray(re1) - np.asarray(re2)).max() < 5e-6
+    assert np.abs(np.asarray(im1) - np.asarray(im2)).max() < 5e-6
