@@ -85,4 +85,6 @@ def build_probe(probe_type, shape, probe_initial=None, pupil_function=None,
             "'gaussian', 'point'.")
     if pupil_function is not None:
         probe = probe * np.asarray(pupil_function)
-    return jnp.asarray(probe)
+    # return a HOST array: complex device transfers are deferred to trace
+    # time so complex-free TPU backends can use the split paths
+    return np.asarray(probe, dtype=np.complex64)

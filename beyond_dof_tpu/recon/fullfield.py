@@ -94,13 +94,14 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
         obj_beta = params["beta"] * mask
         if split_complex:
             # complex-dtype-free forward for TPU runtimes without complex64
-            # support (the loss only consumes magnitudes)
+            # support (the loss only consumes magnitudes); the probe split
+            # happens on the HOST so no complex array ever reaches the device
             from ..models.fullfield import rotate_and_project_batch_split
             if optimize_probe:
                 p_re, p_im = params["probe_real"], params["probe_imag"]
             else:
-                p_re = jnp.real(probe_const).astype(jnp.float32)
-                p_im = jnp.imag(probe_const).astype(jnp.float32)
+                p_re = jnp.asarray(np.real(np.asarray(probe_const)), jnp.float32)
+                p_im = jnp.asarray(np.imag(np.asarray(probe_const)), jnp.float32)
             re, im = rotate_and_project_batch_split(
                 obj_delta, obj_beta, theta_batch, p_re, p_im, energy_ev,
                 psize_cm, free_prop_cm=free_prop_cm, h=h,
@@ -267,8 +268,10 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         params = {"delta": jnp.asarray(obj_delta_init),
                   "beta": jnp.asarray(obj_beta_init)}
         if optimize_probe:
-            params["probe_real"] = jnp.real(probe).astype(jnp.float32)
-            params["probe_imag"] = jnp.imag(probe).astype(jnp.float32)
+            params["probe_real"] = jnp.asarray(
+                np.real(np.asarray(probe)).astype(np.float32))
+            params["probe_imag"] = jnp.asarray(
+                np.imag(np.asarray(probe)).astype(np.float32))
 
         # ---- optimizer ------------------------------------------------------
         n_batch = int(np.ceil(float(n_theta) / (minibatch_size * n_data)))

@@ -233,8 +233,10 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         params = {"delta": jnp.asarray(d0, jnp.float32),
                   "beta": jnp.asarray(b0, jnp.float32)}
         if optimize_probe:
-            params["probe_real"] = jnp.real(probe).astype(jnp.float32)
-            params["probe_imag"] = jnp.imag(probe).astype(jnp.float32)
+            params["probe_real"] = jnp.asarray(
+                np.real(np.asarray(probe)).astype(np.float32))
+            params["probe_imag"] = jnp.asarray(
+                np.imag(np.asarray(probe)).astype(np.float32))
 
         n_blocks = int(np.ceil(n_theta * np.ceil(n_pos_full / minibatch_size)
                                / n_groups))
