@@ -101,3 +101,24 @@ def test_engine_pupil_function(tiny_dataset):
         pupil_function=pupil, **_common(data))
     # pupil is re-applied after each step: outside must be zero
     assert np.abs(info["probe"][0, 0]) == 0
+
+
+def test_no_complex_device_arrays_in_split_engine(tiny_dataset, monkeypatch):
+    """Guard: with split_complex=True no complex array is ever device_put
+    (complex transfers crash/poison some TPU runtime builds)."""
+    import jax
+    gd, gb, data = tiny_dataset
+    orig = jax.device_put
+    seen = []
+
+    def spy(x, *a, **k):
+        import numpy as _np
+        for leaf in jax.tree.leaves(x):
+            dt = getattr(leaf, "dtype", None)
+            if dt is not None and _np.issubdtype(dt, _np.complexfloating):
+                seen.append(dt)
+        return orig(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", spy)
+    reconstruct_fullfield(split_complex=True, **_common(data))
+    assert not seen, "complex device_put in split engine: %s" % seen
