@@ -46,12 +46,15 @@ def _rot_coords(dim_x, dim_z, theta):
     return x_src, z_src
 
 
-def rotate_volume(vol, theta, order=1, cval=0.0):
+def rotate_volume(vol, theta, order=1, cval=0.0, mode="constant"):
     """Rotate a (Y, X, Z) volume by ``theta`` radians in the (X, Z) plane.
 
-    Bilinear (order=1, differentiable) or nearest (order=0). Fills with
-    ``cval`` outside, matching the BILINEAR/black-fill behavior of
-    ``tf.contrib.image.rotate`` (ref fullfield.py:96).
+    Bilinear (order=1, differentiable) or nearest (order=0). With
+    ``mode='constant'`` fills with ``cval`` outside, matching the
+    BILINEAR/black-fill behavior of ``tf.contrib.image.rotate``
+    (ref fullfield.py:96); ``mode='repeat'`` clamps to the nearest edge pixel
+    (the legacy ``rotate_image_tensor`` boundary modes, ref util.py:829-910:
+    black/ones/white are cval 0/1/255, 'repeat' is this clamp).
 
     The rotation is the same for every Y row, so the index math is 2-D
     (a (X, Z) map) and the interpolation is four plane gathers on the
@@ -62,6 +65,8 @@ def rotate_volume(vol, theta, order=1, cval=0.0):
     x_src, z_src = _rot_coords(dim_x, dim_z, theta)
     flat = vol.reshape(dim_y, dim_x * dim_z)
 
+    repeat = mode == "repeat"
+
     if order == 0:
         xi = jnp.round(x_src).astype(jnp.int32)
         zi = jnp.round(z_src).astype(jnp.int32)
@@ -69,7 +74,7 @@ def rotate_volume(vol, theta, order=1, cval=0.0):
         idx = (jnp.clip(xi, 0, dim_x - 1) * dim_z
                + jnp.clip(zi, 0, dim_z - 1)).ravel()
         out = jnp.take(flat, idx, axis=1).reshape(dim_y, dim_x, dim_z)
-        return jnp.where(inside[None], out, cval)
+        return out if repeat else jnp.where(inside[None], out, cval)
 
     x0 = jnp.floor(x_src)
     z0 = jnp.floor(z_src)
@@ -83,7 +88,7 @@ def rotate_volume(vol, theta, order=1, cval=0.0):
         idx = (jnp.clip(xi, 0, dim_x - 1) * dim_z
                + jnp.clip(zi, 0, dim_z - 1)).ravel()
         vals = jnp.take(flat, idx, axis=1).reshape(dim_y, dim_x, dim_z)
-        return jnp.where(inside[None], vals, cval)
+        return vals if repeat else jnp.where(inside[None], vals, cval)
 
     g00 = corner(x0, z0)
     g01 = corner(x0, z0 + 1)

@@ -228,7 +228,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         if probe_circ_mask is not None:
             mask2d = circ_mask(this_probe_size, probe_circ_mask)
             probe = probe * jnp.asarray(mask2d)
-            probe_mask = gaussian_filter_nd(mask2d, 3.0).astype(jnp.complex64)
+            probe_mask = gaussian_filter_nd(mask2d, 3.0)  # float32: complex x real is fine and avoids complex constants on complex-free TPUs
 
         params = {"delta": jnp.asarray(d0, jnp.float32),
                   "beta": jnp.asarray(b0, jnp.float32)}

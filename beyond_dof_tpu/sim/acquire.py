@@ -95,7 +95,7 @@ def create_ptychography_data(grid_delta, grid_beta, energy_ev, psize_cm, n_theta
     if probe_circ_mask is not None:
         mask2d = circ_mask(probe_size, probe_circ_mask)
         probe = probe * jnp.asarray(mask2d)
-        probe_mask = gaussian_filter_nd(mask2d, 3.0).astype(jnp.complex64)
+        probe_mask = gaussian_filter_nd(mask2d, 3.0)  # float32: complex x real is fine and avoids complex constants on complex-free TPUs
 
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)
     data = np.empty((n_theta, n_pos, probe_size[0], probe_size[1]), dtype=np.complex64)

@@ -76,3 +76,15 @@ def test_rotation_lookup_matches_nearest_rotation():
         # NN-vs-bilinear: loose agreement in the interior
         c = slice(6, 18)
         assert np.abs(out[:, c, c] - ref[:, c, c]).mean() < 0.05
+
+
+def test_rotate_boundary_modes():
+    """rotate_image_tensor boundary modes (ref util.py:829-910):
+    constant fill vs edge repeat."""
+    v = np.ones((4, 8, 8), np.float32)
+    out_black = np.asarray(rotate_volume(jnp.asarray(v), 0.6, cval=0.0))
+    out_ones = np.asarray(rotate_volume(jnp.asarray(v), 0.6, cval=1.0))
+    out_rep = np.asarray(rotate_volume(jnp.asarray(v), 0.6, mode="repeat"))
+    assert out_black.min() == 0.0          # corners filled with 0
+    assert np.allclose(out_ones, 1.0)      # constant volume + ones fill
+    assert np.allclose(out_rep, 1.0)       # edge clamp of a constant volume
