@@ -21,3 +21,25 @@ reference ``beyond_dof`` codebase (TF1/autograd/MPI), redesigned TPU-first:
 __version__ = "0.1.0"
 
 from . import constants  # noqa: F401
+
+_TOP_LEVEL = {
+    "reconstruct_fullfield": ".recon.fullfield",
+    "reconstruct_ptychography": ".recon.ptycho",
+    "reconstruct_pureproj": ".recon.pureproj",
+    "create_fullfield_data": ".sim.acquire",
+    "create_ptychography_data": ".sim.acquire",
+    "multislice_propagate_batch": ".ops.multislice",
+    "multislice_propagate_cnn": ".ops.tiled",
+    "multislice_propagate_tiled": ".ops.tiled",
+    "Simulator": ".models.simulator",
+    "make_mesh": ".parallel.mesh",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports of the main user-facing APIs."""
+    if name in _TOP_LEVEL:
+        import importlib
+        mod = importlib.import_module(_TOP_LEVEL[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError("module %r has no attribute %r" % (__name__, name))

@@ -116,15 +116,21 @@ def _conv_step(w_pad, Gy, Gx):
       tmp[b, i, x'] = sum_j Gy[i, j] w_pad[b, j, x']
       out[b, i, x]  = sum_j tmp[b, i, j] Gx[x, j]
     """
-    tmp = jnp.einsum("ij,bjx->bix", Gy, w_pad)
-    return jnp.einsum("xj,bij->bix", Gx, tmp)
+    prec = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("ij,bjx->bix", Gy, w_pad, precision=prec)
+    return jnp.einsum("xj,bij->bix", Gx, tmp, precision=prec)
 
 
 def _kar_einsum(spec, gr, gi, wr, wi):
-    """Karatsuba complex einsum on split pairs: (gr+i gi) . (wr+i wi)."""
-    t1 = jnp.einsum(spec, gr, wr)
-    t2 = jnp.einsum(spec, gi, wi)
-    t3 = jnp.einsum(spec, gr + gi, wr + wi)
+    """Karatsuba complex einsum on split pairs: (gr+i gi) . (wr+i wi).
+
+    Explicit HIGHEST precision: the TPU einsum default is bf16, which would
+    silently degrade the propagator below the 1e-6 parity target.
+    """
+    prec = jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum(spec, gr, wr, precision=prec)
+    t2 = jnp.einsum(spec, gi, wi, precision=prec)
+    t3 = jnp.einsum(spec, gr + gi, wr + wi, precision=prec)
     return t1 - t2, t3 - t1 - t2
 
 
