@@ -1,0 +1,59 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from beyond_dof_tpu.ops.distributed_fft import (fft2_distributed,
+                                                ifft2_distributed,
+                                                multislice_propagate_fft_distributed)
+from beyond_dof_tpu.ops.multislice import multislice_propagate_batch
+from beyond_dof_tpu.ops.tiled import multislice_propagate_tiled
+from beyond_dof_tpu.models.phantom import cone_foam_phantom
+from beyond_dof_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return make_mesh(n_data=1, tile_yx=(4, 1))
+
+
+def test_fft2_distributed_matches_global(mesh4):
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 32, 32) + 1j * rng.rand(2, 32, 32)).astype(np.complex64)
+    out = np.asarray(fft2_distributed(jnp.asarray(x), mesh4, "ty"))
+    ref = np.fft.fft2(x)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_ifft2_distributed_inverts(mesh4):
+    rng = np.random.RandomState(1)
+    x = (rng.rand(32, 32) + 1j * rng.rand(32, 32)).astype(np.complex64)
+    f = fft2_distributed(jnp.asarray(x), mesh4, "ty")
+    b = np.asarray(ifft2_distributed(f, mesh4, "ty"))
+    assert np.abs(b - x).max() < 1e-5
+
+
+def test_distributed_fft_multislice_matches_serial(mesh4):
+    """The PFFT cross-validation path (SURVEY §7.6c): distributed-FFT
+    multislice == serial FFT multislice."""
+    gd, gb = cone_foam_phantom(32, seed=1)
+    gd, gb = gd[None], gb[None]
+    probe = np.ones((32, 32), np.complex64)
+    ref = np.asarray(multislice_propagate_batch(gd, gb, probe, 5000, 1e-7,
+                                                propagate_last=True))
+    out = np.asarray(multislice_propagate_fft_distributed(
+        gd, gb, probe, 5000, 1e-7, mesh4, "ty"))
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_distributed_fft_vs_tiled_conv_large_kernel(mesh4):
+    """Distributed FFT vs halo-exchange conv propagator: amplitudes agree in
+    the large-kernel limit (the mpi_conv_bp comparison, ref README.md:6-11)."""
+    gd, gb = cone_foam_phantom(32, seed=1)
+    gd, gb = gd[None], gb[None]
+    probe = np.ones((32, 32), np.complex64)
+    fft_out = np.abs(np.asarray(multislice_propagate_fft_distributed(
+        gd, gb, probe, 5000, 1e-7, mesh4, "ty")))
+    # kernel 15 is the largest whose halo fits the 8-row tiles of a 4-way mesh
+    conv_out = np.abs(np.asarray(multislice_propagate_tiled(
+        gd, gb, probe, 5000, 1e-7, mesh4, kernel_size=15)))
+    assert np.abs(fft_out - conv_out).mean() < 5e-6
