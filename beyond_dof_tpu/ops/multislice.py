@@ -253,7 +253,7 @@ def multislice_propagate_projection(grid_delta, grid_beta, probe, energy_ev,
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
-                                     remat=True):
+                                     remat=True, grids_zfirst=False):
     """Split-complex multislice: identical physics, no complex dtypes.
 
     For TPU backends without complex64 support (SURVEY §7 hard part; the
@@ -267,7 +267,12 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
 
     grid_delta = jnp.asarray(grid_delta, jnp.float32)
     grid_beta = jnp.asarray(grid_beta, jnp.float32)
-    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    if grids_zfirst:
+        # grids supplied as (Z, B, Y, X): skips the on-device transpose copy,
+        # which doubles HBM use at 1024^3 scale
+        n_slice, batch, dim_y, dim_x = grid_delta.shape
+    else:
+        batch, dim_y, dim_x, n_slice = grid_delta.shape
     voxel_nm = np.array([psize_cm] * 3) * 1.0e7
     lmbda_nm = 1240.0 / energy_ev
     delta_nm = voxel_nm[-1]
@@ -287,8 +292,11 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                             (batch, dim_y, dim_x))
     w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
                             (batch, dim_y, dim_x))
-    delta_z = jnp.moveaxis(grid_delta, -1, 0)
-    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+    if grids_zfirst:
+        delta_z, beta_z = grid_delta, grid_beta
+    else:
+        delta_z = jnp.moveaxis(grid_delta, -1, 0)
+        beta_z = jnp.moveaxis(grid_beta, -1, 0)
 
     def step_prop(carry, slices):
         re, im = carry
