@@ -98,6 +98,34 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
     return exiting
 
 
+def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
+                         probe_im, energy_ev, psize_cm, probe_size, pad_arr,
+                         h=None, probe_mask=None, free_prop_cm="inf",
+                         remat=True):
+    """Split-complex twin of :func:`ptycho_forward` (fresnel path only).
+
+    Complex-dtype-free: rotation/pad/gather are real, the multislice and the
+    far-field run through ops.splitfft. ``probe_mask`` must be real-valued.
+    Returns ``(re, im)`` of shape (n_pos, py, px).
+    """
+    from ..ops.multislice import multislice_propagate_batch_split
+    delta_rot = rotate_volume(obj_delta, theta)
+    beta_rot = rotate_volume(obj_beta, theta)
+    pad = ((int(pad_arr[0, 0]), int(pad_arr[0, 1])),
+           (int(pad_arr[1, 0]), int(pad_arr[1, 1])), (0, 0))
+    delta_rot = jnp.pad(delta_rot, pad)
+    beta_rot = jnp.pad(beta_rot, pad)
+    delta_patches = extract_patches(delta_rot, pos_batch, probe_size, pad_arr)
+    beta_patches = extract_patches(beta_rot, pos_batch, probe_size, pad_arr)
+    re, im = multislice_propagate_batch_split(
+        delta_patches, beta_patches, probe_re, probe_im, energy_ev, psize_cm,
+        h=h, free_prop_cm=free_prop_cm, remat=remat)
+    if probe_mask is not None:
+        re = re * probe_mask
+        im = im * probe_mask
+    return re, im
+
+
 def ptycho_loss(exiting_batch, data_mag_batch, n_pos):
     """Magnitude MSE scaled by total position count (ref ptychography.py:94)."""
     return jnp.mean((jnp.abs(exiting_batch) - data_mag_batch) ** 2) * n_pos

@@ -99,14 +99,27 @@ def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
                                  (batch, dim_y, dim_x))
 
     kz = np.float32(2 * PI * delta_nm / lmbda_nm)
-    for i_slice in range(n_slice):
-        d = delta_sph[..., i_slice]
-        b = beta_sph[..., i_slice]
-        wavefront = wavefront * jnp.exp(jax.lax.complex(-kz * b, kz * d))
-        r_cm = dist_to_source_cm + (i_slice * delta_nm) * 1.0e-7
-        wavefront = free_propagate_spherical(wavefront, delta_nm * 1e-7, r_cm,
-                                             lmbda_nm, probe_size,
-                                             theta_max, phi_max)
+    # Precompute the per-slice spherical kernels on the host (the radius
+    # changes every slice) and roll the slice sweep with lax.scan — one
+    # compiled step instead of a Python-unrolled graph (ref npfuncs.py:97-102
+    # loops in Python; fine for NumPy, graph bloat under jit).
+    from .fresnel import get_kernel_spherical
+    h_stack = np.stack([
+        get_kernel_spherical(delta_nm, lmbda_nm,
+                             dist_to_source_nm + i * delta_nm,
+                             theta_max, phi_max, probe_size)
+        for i in range(n_slice)])
+    h_stack = jnp.asarray(np.fft.ifftshift(h_stack, axes=(-2, -1)))
+    delta_z = jnp.moveaxis(delta_sph, -1, 0)
+    beta_z = jnp.moveaxis(beta_sph, -1, 0)
+
+    def step(w, inp):
+        d, b, hi = inp
+        w = w * jnp.exp(jax.lax.complex(-kz * b, kz * d))
+        w = jnp.fft.ifft2(jnp.fft.fft2(w) * hi)
+        return w, None
+
+    wavefront, _ = jax.lax.scan(step, wavefront, (delta_z, beta_z, h_stack))
 
     r_nm = dist_to_source_nm + delta_nm * n_slice
     if free_prop_cm is not None:

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import optax
 
 from ..constants import PI
-from ..models.ptycho import compute_pad_arr, ptycho_forward
+from ..models.ptycho import (compute_pad_arr, ptycho_forward,
+                             ptycho_forward_split)
 from ..models.probe import build_probe, real_imag_to_mag_phase
 from ..ops.fresnel import get_kernel
 from ..ops.regularizers import regularization_term, probe_tv
@@ -110,7 +111,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                              checkpoint_dir=None, checkpoint_every=0,
                              save_outputs=True, remat=True, verbose=True,
                              cpu_only=False, core_parallelization=True,
-                             poisson_multiplier=2e6, stream=False, kernel_size=17, **kwargs):
+                             poisson_multiplier=2e6, stream=False, kernel_size=17,
+                             split_complex="auto", **kwargs):
     """Ptychographic 3D reconstruction (parameter parity with the reference,
     ref ptychography.py:19-27 + cnn additions ``dynamic_dropping``,
     ``dropping_threshold``).
@@ -227,7 +229,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         probe_mask = None
         if probe_circ_mask is not None:
             mask2d = circ_mask(this_probe_size, probe_circ_mask)
-            probe = probe * jnp.asarray(mask2d)
+            probe = probe * mask2d  # host-side: no complex device arrays
             probe_mask = gaussian_filter_nd(mask2d, 3.0)  # float32: complex x real is fine and avoids complex constants on complex-free TPUs
 
         params = {"delta": jnp.asarray(d0, jnp.float32),
@@ -251,13 +253,38 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, this_probe_size)
         n_pos_total = float(n_pos_full)
 
+        if split_complex == "auto":
+            from ..ops.splitfft import complex_supported
+            use_split = (forward_algorithm == "fresnel"
+                         and not complex_supported())
+        else:
+            use_split = bool(split_complex)
+        probe_host = np.asarray(probe)
+        probe_re_c = jnp.asarray(np.real(probe_host).astype(np.float32))
+        probe_im_c = jnp.asarray(np.imag(probe_host).astype(np.float32))
+
         def loss_fn(params, theta_block, pos_block, mag_block):
-            if optimize_probe:
+            if use_split:
+                if optimize_probe:
+                    p_re, p_im = params["probe_real"], params["probe_imag"]
+                else:
+                    p_re, p_im = probe_re_c, probe_im_c
+            elif optimize_probe:
                 pr = jax.lax.complex(params["probe_real"], params["probe_imag"])
             else:
                 pr = probe
 
             def per_group(th, pos, mag):
+                if use_split:
+                    re, im = ptycho_forward_split(
+                        params["delta"], params["beta"], th, pos, p_re, p_im,
+                        energy_ev, psize_cm * ds_level,
+                        tuple(this_probe_size), pad_arr, h=h,
+                        probe_mask=probe_mask,
+                        free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
+                        remat=remat)
+                    mags = jnp.sqrt(re * re + im * im)
+                    return jnp.mean((mags - mag) ** 2) * n_pos_total
                 exiting = ptycho_forward(
                     params["delta"], params["beta"], th, pos, pr,
                     energy_ev, psize_cm * ds_level, tuple(this_probe_size),
@@ -291,6 +318,20 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         @jax.jit
         def position_loss(params, theta_scalar, pos_block, mag_block):
             """Per-position data loss at one angle (for dynamic dropping)."""
+            if use_split:
+                if optimize_probe:
+                    p_re, p_im = params["probe_real"], params["probe_imag"]
+                else:
+                    p_re, p_im = probe_re_c, probe_im_c
+                re, im = ptycho_forward_split(
+                    params["delta"], params["beta"], theta_scalar, pos_block,
+                    p_re, p_im, energy_ev, psize_cm * ds_level,
+                    tuple(this_probe_size), pad_arr, h=h,
+                    probe_mask=probe_mask,
+                    free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
+                    remat=remat)
+                mags = jnp.sqrt(re * re + im * im)
+                return jnp.mean((mags - mag_block) ** 2, axis=(1, 2))
             if optimize_probe:
                 pr = jax.lax.complex(params["probe_real"], params["probe_imag"])
             else:

@@ -94,7 +94,7 @@ def create_ptychography_data(grid_delta, grid_beta, energy_ev, psize_cm, n_theta
     probe_mask = None
     if probe_circ_mask is not None:
         mask2d = circ_mask(probe_size, probe_circ_mask)
-        probe = probe * jnp.asarray(mask2d)
+        probe = probe * mask2d  # host-side: no complex device arrays
         probe_mask = gaussian_filter_nd(mask2d, 3.0)  # float32: complex x real is fine and avoids complex constants on complex-free TPUs
 
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)

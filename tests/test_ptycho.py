@@ -124,3 +124,18 @@ def test_ptycho_conv_forward(ptycho_setup):
         probe_phase_max=0.5, save_outputs=False, verbose=False, seed=0,
         forward_algorithm="conv", kernel_size=5)
     assert np.isfinite(info["loss"]).all()
+
+
+def test_ptycho_split_engine_matches_complex(ptycho_setup):
+    """split_complex=True follows the complex ptycho engine's trajectory."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    common = dict(probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24),
+                  data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, minibatch_size=9,
+                  energy_ev=5000, psize_cm=1e-7, probe_type="gaussian",
+                  probe_mag_sigma=3, probe_phase_sigma=3, probe_phase_max=0.5,
+                  save_outputs=False, verbose=False, seed=0)
+    d1, b1, i1 = reconstruct_ptychography(split_complex=False, **common)
+    d2, b2, i2 = reconstruct_ptychography(split_complex=True, **common)
+    assert np.allclose(i1["loss"], i2["loss"], rtol=0.3)
+    assert np.abs(d1 - d2).max() < 5e-7
