@@ -54,11 +54,29 @@ def run_benchmark(size=256, n_slices=256, batch=1, n_iters=10, energy_ev=5000,
     gb = (rng.rand(batch, size, size, n_slices) * 1e-8).astype(np.float32)
 
     use_split = force_split or not complex_supported()
+    # The fused radix-DIF Pallas kernel is the fastest validated path for
+    # single square volumes at the radix sizes (1.8x the XLA split scan).
+    use_pallas = (use_split and batch == 1 and size in (128, 256)
+                  and jax.default_backend() != "cpu")
 
     # Device-side repetition: one jit call runs the volume n_iters times in a
     # fori_loop (output feeds the next probe), one scalar fetch synchronizes.
     # Robust under RPC-dispatched backends where per-call timing is unreliable.
-    if use_split:
+    if use_pallas:
+        from beyond_dof_tpu.ops.pallas_kernels import multislice_pallas_split
+
+        def repeated(gd, gb, w0, n):
+            def body(_, w):
+                re, im = multislice_pallas_split(
+                    gd[0], gb[0], w[0], w[1], energy_ev, psize_cm,
+                    interpret=False, radix=True)
+                return jnp.stack([re, im])
+            w = jax.lax.fori_loop(0, n, body, w0)
+            return jnp.sum(w[0] ** 2 + w[1] ** 2)
+
+        pr = jnp.asarray(np.stack([np.ones((size, size), np.float32),
+                                   np.zeros((size, size), np.float32)]))
+    elif use_split:
         def repeated(gd, gb, w0, n):
             def body(_, w):
                 re, im = multislice_propagate_batch_split(
@@ -113,7 +131,8 @@ def run_benchmark(size=256, n_slices=256, batch=1, n_iters=10, energy_ev=5000,
             "seconds_per_volume": dt,
             "numpy_baseline_slices_per_sec": round(baseline, 2),
             "device": str(jax.devices()[0]),
-            "path": "split_matmul_dft" if use_split else "complex_fft",
+            "path": ("pallas_radix_fused" if use_pallas
+                     else "split_matmul_dft" if use_split else "complex_fft"),
         },
     }
 
