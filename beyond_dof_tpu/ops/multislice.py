@@ -250,6 +250,78 @@ def multislice_propagate_projection(grid_delta, grid_beta, probe, energy_ev,
     return wavefront
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _multislice_split_invertible(delta_z, beta_z, w_re, w_im, hr, hi, k):
+    """Split multislice scan with an O(1)-memory invertible backward pass.
+
+    The per-slice Fresnel step is UNITARY (|H| = 1), so the backward pass
+    reconstructs each intermediate wavefield by running the physics in
+    reverse (P^-1 = adjoint = same transform with conj(H); the modulation
+    inverts analytically) instead of storing per-slice activations — the
+    invertible-network trick of memory-efficient computational imaging
+    (Kellman et al., NeurIPS deep-inverse 2019; PAPERS.md). Activation
+    memory drops from O(n_slice) carries to O(1).
+
+    Args are (Z, B, Y, X) slices, split probe, PERMUTED split kernel, and k.
+    """
+    from .splitfft import cexp_modulation, cmul, apply_kernel_split_perm
+
+    def step(carry, slices):
+        re, im = carry
+        d, b = slices
+        cr, ci = cexp_modulation(d, b, k)
+        re, im = cmul(re, im, cr, ci)
+        re, im = apply_kernel_split_perm(re, im, hr, hi)
+        return (re, im), None
+
+    (w_re, w_im), _ = jax.lax.scan(step, (w_re, w_im), (delta_z, beta_z))
+    return w_re, w_im
+
+
+def _msi_fwd(delta_z, beta_z, w_re, w_im, hr, hi, k):
+    out = _multislice_split_invertible(delta_z, beta_z, w_re, w_im, hr, hi, k)
+    return out, (delta_z, beta_z, out[0], out[1], hr, hi)
+
+
+def _msi_bwd(k, res, cot):
+    from .splitfft import cexp_modulation, apply_kernel_split_perm
+    delta_z, beta_z, w_re, w_im, hr, hi = res
+    g_re, g_im = cot
+    nhi = -hi  # conj kernel: P^-1 == P-adjoint (unitary step)
+
+    def back(carry, slices):
+        w_re, w_im, g_re, g_im = carry
+        d, b = slices
+        cr, ci = cexp_modulation(d, b, k)
+        # reconstruct the modulated field m_i = P^-1(w_{i+1})
+        m_re, m_im = apply_kernel_split_perm(w_re, w_im, hr, nhi)
+        # cotangent at m: real-adjoint of the unitary step = same transform
+        gm_re, gm_im = apply_kernel_split_perm(g_re, g_im, hr, nhi)
+        # reconstruct w_i = m * conj(c) / |c|^2
+        inv = 1.0 / (cr * cr + ci * ci)
+        wp_re = (m_re * cr + m_im * ci) * inv
+        wp_im = (m_im * cr - m_re * ci) * inv
+        # slice gradients: gc = conj(w_i) * gm;  c = e^{-kb}(cos kd, sin kd)
+        gc_re = gm_re * wp_re + gm_im * wp_im
+        gc_im = -gm_re * wp_im + gm_im * wp_re
+        gd = k * (gc_im * cr - gc_re * ci)
+        gb = -k * (gc_re * cr + gc_im * ci)
+        # cotangent at w_i: conj(c) * gm
+        gw_re = gm_re * cr + gm_im * ci
+        gw_im = -gm_re * ci + gm_im * cr
+        return (wp_re, wp_im, gw_re, gw_im), (gd, gb)
+
+    (w0_re, w0_im, g0_re, g0_im), (gd_z, gb_z) = jax.lax.scan(
+        back, (w_re, w_im, g_re, g_im), (delta_z, beta_z), reverse=True)
+    return gd_z, gb_z, g0_re, g0_im, None, None
+
+
+_multislice_split_invertible.defvjp(_msi_fwd, _msi_bwd)
+
+
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
@@ -311,11 +383,22 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
         cr, ci = cexp_modulation(d, b, k)
         return cmul(re, im, cr, ci)
 
-    if remat:
+    invertible = remat == "invertible"
+    if remat and not invertible:
         step_prop = jax.checkpoint(step_prop)
 
     if n_slice == 1:
         w_re, w_im = modulate_only((w_re, w_im), delta_z[0], beta_z[0])
+    elif invertible:
+        # O(1)-activation backward: the unitary slice steps are run in
+        # reverse in the VJP instead of storing carries
+        if propagate_last:
+            w_re, w_im = _multislice_split_invertible(
+                delta_z, beta_z, w_re, w_im, hr, hi, k)
+        else:
+            w_re, w_im = _multislice_split_invertible(
+                delta_z[:-1], beta_z[:-1], w_re, w_im, hr, hi, k)
+            w_re, w_im = modulate_only((w_re, w_im), delta_z[-1], beta_z[-1])
     elif propagate_last:
         (w_re, w_im), _ = jax.lax.scan(step_prop, (w_re, w_im),
                                        (delta_z, beta_z))

@@ -120,3 +120,51 @@ def test_split_engine_matches_complex_engine():
     assert np.allclose(i1["loss"], i2["loss"], rtol=0.3)
     assert i2["loss"][-1] < i2["loss"][0]
     assert np.abs(d1 - d2).max() < 5e-7
+
+
+def test_invertible_vjp_matches_autodiff():
+    """O(1)-memory invertible backward (unitary Fresnel steps run in reverse)
+    == standard autodiff gradients."""
+    import jax
+    from beyond_dof_tpu.ops.multislice import multislice_propagate_batch_split
+    gd, gb = adhesin_phantom(24)
+    gd_b, gb_b = gd[None], gb[None]
+    pr = np.ones((24, 24), np.float32)
+    pi_ = np.zeros((24, 24), np.float32)
+    target = np.abs(np.random.RandomState(0).rand(1, 24, 24)).astype(np.float32)
+
+    def make(remat, pl):
+        def loss(d, b, p_re):
+            re, im = multislice_propagate_batch_split(
+                d, b, p_re, pi_, 800, 0.67e-7, remat=remat, propagate_last=pl)
+            return jnp.sum((jnp.sqrt(re * re + im * im) - target) ** 2)
+        return loss
+
+    for pl in (True, False):
+        g_ref = jax.grad(make(True, pl), (0, 1, 2))(
+            jnp.asarray(gd_b), jnp.asarray(gb_b), jnp.asarray(pr))
+        g_inv = jax.grad(make("invertible", pl), (0, 1, 2))(
+            jnp.asarray(gd_b), jnp.asarray(gb_b), jnp.asarray(pr))
+        for a, b2 in zip(g_ref, g_inv):
+            scale = max(float(jnp.abs(a).max()), 1e-30)
+            assert float(jnp.abs(a - b2).max()) / scale < 1e-4
+
+
+def test_engine_invertible_remat_matches():
+    """reconstruct_fullfield(remat='invertible', split_complex=True) follows
+    the standard-remat trajectory."""
+    from beyond_dof_tpu.sim.acquire import create_fullfield_data
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+    gd, gb = adhesin_phantom(16)
+    data = create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                 free_prop_cm=None, n_theta=8, batch_size=8,
+                                 theta_end=2 * np.pi)
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, energy_ev=800,
+                  psize_cm=0.67e-7, minibatch_size=4, shrink_cycle=None,
+                  save_outputs=False, verbose=False, propagate_last=False,
+                  seed=0, random_theta=False, split_complex=True)
+    d1, b1, i1 = reconstruct_fullfield(remat=True, **common)
+    d2, b2, i2 = reconstruct_fullfield(remat="invertible", **common)
+    assert np.allclose(i1["loss"], i2["loss"], rtol=1e-3)
+    assert np.abs(d1 - d2).max() < 1e-8
