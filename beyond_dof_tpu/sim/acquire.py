@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..constants import PI
 from ..models.fullfield import rotate_and_project_batch
-from ..models.ptycho import compute_pad_arr, ptycho_forward
+from ..models.ptycho import compute_pad_arr, ptycho_forward, ptycho_forward_split
 from ..models.probe import build_probe
 from ..ops.image import circ_mask, gaussian_filter_nd
 from ..io.exchange import write_exchange_data
@@ -44,15 +44,30 @@ def create_fullfield_data(grid_delta, grid_beta, energy_ev, psize_cm, free_prop_
     img_dim = grid_delta.shape
     probe = _sim_probe(probe_type, img_dim[:2], wavefront_initial, kwargs)
 
+    from ..ops.splitfft import complex_supported
+    use_split = probe_type != "point" and not complex_supported()
+    if use_split:
+        from ..models.fullfield import rotate_and_project_batch_split
+        probe_host = np.asarray(probe)
+        p_re = jnp.asarray(np.real(probe_host).astype(np.float32))
+        p_im = jnp.asarray(np.imag(probe_host).astype(np.float32))
+
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)
     data = np.empty((n_theta, img_dim[0], img_dim[1]), dtype=np.complex64)
     for i0 in range(0, n_theta, batch_size):
         th = jnp.asarray(theta_ls[i0:i0 + batch_size], jnp.float32)
-        out = rotate_and_project_batch(
-            jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, probe,
-            energy_ev, psize_cm, free_prop_cm=free_prop_cm,
-            propagate_last=propagate_last, remat=False)
-        data[i0:i0 + th.shape[0]] = np.asarray(out)
+        if use_split:
+            re, im = rotate_and_project_batch_split(
+                jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, p_re,
+                p_im, energy_ev, psize_cm, free_prop_cm=free_prop_cm,
+                propagate_last=propagate_last, remat=False)
+            out = np.asarray(re) + 1j * np.asarray(im)
+        else:
+            out = np.asarray(rotate_and_project_batch(
+                jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, probe,
+                energy_ev, psize_cm, free_prop_cm=free_prop_cm,
+                propagate_last=propagate_last, remat=False))
+        data[i0:i0 + th.shape[0]] = out
         if monitor_output and save_folder is not None:
             tiff.write_tiff(np.abs(np.asarray(out)),
                             os.path.join(save_folder, "monitor_output", "prj_%d" % i0))
@@ -97,17 +112,32 @@ def create_ptychography_data(grid_delta, grid_beta, energy_ev, psize_cm, n_theta
         probe = probe * mask2d  # host-side: no complex device arrays
         probe_mask = gaussian_filter_nd(mask2d, 3.0)  # float32: complex x real is fine and avoids complex constants on complex-free TPUs
 
+    from ..ops.splitfft import complex_supported
+    use_split = not complex_supported()
+    if use_split:
+        probe_host = np.asarray(probe)
+        p_re = jnp.asarray(np.real(probe_host).astype(np.float32))
+        p_im = jnp.asarray(np.imag(probe_host).astype(np.float32))
+
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)
     data = np.empty((n_theta, n_pos, probe_size[0], probe_size[1]), dtype=np.complex64)
     for i, theta in enumerate(theta_ls):
         for k0 in range(0, n_pos, n_dp_batch):
             pos_batch = probe_pos[k0:k0 + n_dp_batch]
-            out = ptycho_forward(
-                jnp.asarray(grid_delta), jnp.asarray(grid_beta),
-                jnp.float32(theta), pos_batch, probe, energy_ev, psize_cm,
-                probe_size, pad_arr, probe_mask=probe_mask,
-                free_prop_cm="inf", remat=False)
-            data[i, k0:k0 + len(pos_batch)] = np.asarray(out)
+            if use_split:
+                re, im = ptycho_forward_split(
+                    jnp.asarray(grid_delta), jnp.asarray(grid_beta),
+                    jnp.float32(theta), pos_batch, p_re, p_im, energy_ev,
+                    psize_cm, probe_size, pad_arr, probe_mask=probe_mask,
+                    free_prop_cm="inf", remat=False)
+                out = np.asarray(re) + 1j * np.asarray(im)
+            else:
+                out = np.asarray(ptycho_forward(
+                    jnp.asarray(grid_delta), jnp.asarray(grid_beta),
+                    jnp.float32(theta), pos_batch, probe, energy_ev, psize_cm,
+                    probe_size, pad_arr, probe_mask=probe_mask,
+                    free_prop_cm="inf", remat=False))
+            data[i, k0:k0 + len(pos_batch)] = out
     if fname is not None:
         write_exchange_data(os.path.join(save_folder or ".", fname), data)
     return data

@@ -111,3 +111,19 @@ def test_simulator_legacy_api(tmp_path):
     sim2 = Simulator(800, grid=(gd, gb), psize=[0.67e-7] * 3)
     sim2.read_grid(str(tmp_path / "grid"))
     assert np.array_equal(sim2.grid_delta, gd)
+
+
+def test_create_data_split_fallback_matches(monkeypatch):
+    """Simulation auto-falls back to the split path on complex-free backends
+    and produces the same data."""
+    import beyond_dof_tpu.sim.acquire as acq
+    gd, gb = adhesin_phantom(16)
+    ref = acq.create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                    free_prop_cm=1e-4, n_theta=3, batch_size=3,
+                                    theta_end=2 * np.pi)
+    import beyond_dof_tpu.ops.splitfft as sf
+    monkeypatch.setattr(sf, "complex_supported", lambda *a, **k: False)
+    out = acq.create_fullfield_data(gd, gb, energy_ev=800, psize_cm=0.67e-7,
+                                    free_prop_cm=1e-4, n_theta=3, batch_size=3,
+                                    theta_end=2 * np.pi)
+    assert np.abs(out - ref).max() < 1e-5
