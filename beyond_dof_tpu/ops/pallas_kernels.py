@@ -42,11 +42,16 @@ def _kar_right(re, im, wr, wi, ws):
 
 
 def _kar_left(re, im, wr, wi, ws):
-    """(wr + i wi) @ (re + i im) via 3 matmuls (DFT mats are symmetric)."""
-    t1 = jnp.dot(wr, re, precision=_PREC, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(wi, im, precision=_PREC, preferred_element_type=jnp.float32)
-    t3 = jnp.dot(ws, re + im, precision=_PREC,
-                 preferred_element_type=jnp.float32)
+    """(wr + i wi) applied along axis -2 via 3 matmuls (DFT mats symmetric).
+
+    Batch-generic: works on (Y, X) and (B, Y, X) operands.
+    """
+    def lmul(m, a):
+        return jnp.einsum("ij,...jx->...ix", m, a, precision=_PREC,
+                          preferred_element_type=jnp.float32)
+    t1 = lmul(wr, re)
+    t2 = lmul(wi, im)
+    t3 = lmul(ws, re + im)
     return t1 - t2, t3 - t1 - t2
 
 
@@ -82,14 +87,14 @@ def _dif_last(re, im, wr, wi, ws, twr, twi):
 
 
 def _dif_first(re, im, wr, wi, ws, twr, twi):
-    """DIF along the first axis (left-multiplies; twiddle as a column)."""
-    n = re.shape[0]
+    """DIF along axis -2 (left-multiplies; twiddle as a column). Batch-generic."""
+    n = re.shape[-2]
     base = wr.shape[0]
     if n == base:
         return _kar_left(re, im, wr, wi, ws)
     h = n // 2
-    ar, ai = re[:h], im[:h]
-    br, bi = re[h:], im[h:]
+    ar, ai = re[..., :h, :], im[..., :h, :]
+    br, bi = re[..., h:, :], im[..., h:, :]
     sr, si = ar + br, ai + bi
     dr, di = ar - br, ai - bi
     tc_r = twr.reshape(-1, 1)
@@ -98,8 +103,8 @@ def _dif_first(re, im, wr, wi, ws, twr, twi):
     ti = dr * tc_i + di * tc_r
     er, ei = _dif_first(sr, si, wr, wi, ws, twr, twi)
     orr, oi = _dif_first(tr, ti, wr, wi, ws, twr, twi)
-    return (jnp.concatenate([er, orr], axis=0),
-            jnp.concatenate([ei, oi], axis=0))
+    return (jnp.concatenate([er, orr], axis=-2),
+            jnp.concatenate([ei, oi], axis=-2))
 
 
 def _idit_last(re, im, iwr, iwi, iws, twr, twi):
@@ -119,19 +124,19 @@ def _idit_last(re, im, iwr, iwi, iws, twr, twi):
 
 
 def _idit_first(re, im, iwr, iwi, iws, twr, twi):
-    n = re.shape[0]
+    n = re.shape[-2]
     base = iwr.shape[0]
     if n == base:
         return _kar_left(re, im, iwr, iwi, iws)
     h = n // 2
-    sr, si = _idit_first(re[:h], im[:h], iwr, iwi, iws, twr, twi)
-    tr, ti = _idit_first(re[h:], im[h:], iwr, iwi, iws, twr, twi)
+    sr, si = _idit_first(re[..., :h, :], im[..., :h, :], iwr, iwi, iws, twr, twi)
+    tr, ti = _idit_first(re[..., h:, :], im[..., h:, :], iwr, iwi, iws, twr, twi)
     tc_r = twr.reshape(-1, 1)
     tc_i = twi.reshape(-1, 1)
     dr = tr * tc_r + ti * tc_i
     di = -tr * tc_i + ti * tc_r
-    return (jnp.concatenate([(sr + dr) * 0.5, (sr - dr) * 0.5], axis=0),
-            jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=0))
+    return (jnp.concatenate([(sr + dr) * 0.5, (sr - dr) * 0.5], axis=-2),
+            jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=-2))
 
 
 def _make_kernel(n_slice, inv_scale, k):
