@@ -325,7 +325,8 @@ _multislice_split_invertible.defvjp(_msi_fwd, _msi_bwd)
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
-                                     remat=True, grids_zfirst=False):
+                                     remat=True, grids_zfirst=False,
+                                     use_pallas=None):
     """Split-complex multislice: identical physics, no complex dtypes.
 
     For TPU backends without complex64 support (SURVEY §7 hard part; the
@@ -333,6 +334,11 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
     propagation_tf.py:83-105). The wavefield is carried as (re, im) float32
     and the per-slice Fresnel step runs through the MXU matmul-DFT of
     :mod:`.splitfft`. Returns ``(re, im)`` of shape (B, Y, X).
+
+    With ``remat='invertible'`` on eligible shapes (square power-of-two
+    planes) the whole sweep — forward and backward — runs as single fused
+    Pallas kernels with the field resident in VMEM (``use_pallas=None``
+    auto-enables this on TPU backends; pass True/False to force).
     """
     from .splitfft import (cfft2_split, cexp_modulation, cmul,
                            apply_kernel_split_perm, permute_kernel_2d)
@@ -387,17 +393,37 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
     if remat and not invertible:
         step_prop = jax.checkpoint(step_prop)
 
+    if invertible:
+        # O(1)-activation backward: the unitary slice steps are run in
+        # reverse in the VJP instead of storing carries. On TPU with
+        # eligible plane shapes, both sweeps run as single fused Pallas
+        # kernels (field resident in VMEM across all slices).
+        from .pallas_kernels import (multislice_pallas_invertible,
+                                     pallas_shape_ok, _on_tpu)
+        eligible = pallas_shape_ok(dim_y, dim_x)
+        if use_pallas is None:
+            use_pallas = eligible and _on_tpu()
+        elif use_pallas and not eligible:
+            raise ValueError("use_pallas needs square power-of-two planes; "
+                             "got (%d, %d)" % (dim_y, dim_x))
+        if use_pallas:
+            interp = not _on_tpu()
+
+            def sweep(dz, bz, wr_, wi_):
+                return multislice_pallas_invertible(
+                    dz, bz, wr_, wi_, hr, hi, float(k), interp)
+        else:
+            def sweep(dz, bz, wr_, wi_):
+                return _multislice_split_invertible(dz, bz, wr_, wi_,
+                                                    hr, hi, k)
+
     if n_slice == 1:
         w_re, w_im = modulate_only((w_re, w_im), delta_z[0], beta_z[0])
     elif invertible:
-        # O(1)-activation backward: the unitary slice steps are run in
-        # reverse in the VJP instead of storing carries
         if propagate_last:
-            w_re, w_im = _multislice_split_invertible(
-                delta_z, beta_z, w_re, w_im, hr, hi, k)
+            w_re, w_im = sweep(delta_z, beta_z, w_re, w_im)
         else:
-            w_re, w_im = _multislice_split_invertible(
-                delta_z[:-1], beta_z[:-1], w_re, w_im, hr, hi, k)
+            w_re, w_im = sweep(delta_z[:-1], beta_z[:-1], w_re, w_im)
             w_re, w_im = modulate_only((w_re, w_im), delta_z[-1], beta_z[-1])
     elif propagate_last:
         (w_re, w_im), _ = jax.lax.scan(step_prop, (w_re, w_im),

@@ -1,18 +1,32 @@
-"""Pallas TPU kernels for the multislice hot loop.
+"""Pallas TPU kernels for the multislice hot loop — forward AND backward.
 
 The flagship kernel fuses the ENTIRE multislice propagation — per-slice
 refractive modulation, forward 2-D DFT, transfer-function multiply, inverse
-2-D DFT — into one ``pallas_call`` whose grid sweeps the slice axis. The
+2-D DFT — into one ``pallas_call`` whose grid sweeps (batch, slice). The
 wavefield lives in VMEM scratch for the whole propagation (TPU grid steps
 run sequentially on a core and scratch persists across them), so HBM traffic
 collapses to streaming the (delta, beta) slices in: the XLA scan emits
 ~9 HBM round trips per slice (modulated field + 8 matmul intermediates),
 this kernel emits one.
 
+Training runs the same way: :func:`multislice_pallas_invertible` is a
+``jax.custom_vjp`` whose BACKWARD pass is also one fused Pallas kernel — the
+per-slice Fresnel step is unitary (|H| = 1), so the reverse sweep
+reconstructs each intermediate wavefield by running the physics backwards
+(adjoint propagation + analytic inverse modulation) instead of storing
+activations. O(1) activation memory, and the gradient sweep enjoys the same
+VMEM-resident fusion as the forward (semantics identical to the XLA
+invertible VJP in ``ops.multislice._msi_bwd``).
+
 Everything is split-complex float32 (works on TPU runtimes with no complex
-support) and every DFT is a Karatsuba 3-matmul on the MXU. DFT matrices are
-symmetric, so the column transform is a plain left-multiply with the same
-matrices.
+support) and every DFT bottoms out in a Karatsuba 3-matmul on the MXU. The
+radix-2 DIF recursion (per-level twiddles precomputed on host, frequency
+order folded into a pre-permuted kernel) cuts the matmul work from N^2 to
+N*128 MACs per axis, for any N = 128 * 2^m (or a dense matmul for N <= 128).
+
+Reference analogue: the hot loop this replaces is the TF while-loop
+modulate/FFT/multiply/IFFT step (ref tensorflow_recon/util.py:465-483) and
+its gradient graph.
 """
 
 import functools
@@ -25,12 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import PI
 from .fresnel import get_kernel, ifftshift2
-from .splitfft import dft_mats
+from .splitfft import dft_mats, _twiddles, _DFT_BASE, permute_kernel_2d
 
-__all__ = ["multislice_pallas_split"]
+__all__ = ["multislice_pallas_split", "multislice_pallas_invertible",
+           "pallas_shape_ok"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
+
+def pallas_shape_ok(dim_y, dim_x, base=None):
+    """True when (Y, X) planes are handled by the fused radix kernels:
+    square, and either <= one MXU tile (dense base matmul) or a
+    power-of-two multiple of the 128-point base."""
+    if base is None:
+        base = _DFT_BASE
+    if dim_y != dim_x:
+        return False
+    n = dim_y
+    if n <= base:
+        return True
+    m = n // base
+    return n % base == 0 and (m & (m - 1)) == 0
+
+
+def _on_tpu():
+    return (jax.default_backend() == "tpu"
+            or "axon" in str(jax.devices()[0]).lower())
+
+
+# ---------------------------------------------------------------------------
+# In-kernel split-complex DFT helpers (batch-generic, per-level twiddles)
+# ---------------------------------------------------------------------------
 
 def _kar_right(re, im, wr, wi, ws):
     """(re + i im) @ (wr + i wi) via 3 matmuls; ws = wr + wi."""
@@ -42,10 +81,7 @@ def _kar_right(re, im, wr, wi, ws):
 
 
 def _kar_left(re, im, wr, wi, ws):
-    """(wr + i wi) applied along axis -2 via 3 matmuls (DFT mats symmetric).
-
-    Batch-generic: works on (Y, X) and (B, Y, X) operands.
-    """
+    """(wr + i wi) applied along axis -2 via 3 matmuls (DFT mats symmetric)."""
     def lmul(m, a):
         return jnp.einsum("ij,...jx->...ix", m, a, precision=_PREC,
                           preferred_element_type=jnp.float32)
@@ -55,20 +91,12 @@ def _kar_left(re, im, wr, wi, ws):
     return t1 - t2, t3 - t1 - t2
 
 
-def _fft2_vmem(re, im, wry, wiy, wsy, wrx, wix, wsx):
-    re, im = _kar_right(re, im, wrx, wix, wsx)   # DFT along X (last axis)
-    re, im = _kar_left(re, im, wry, wiy, wsy)    # DFT along Y (left mult)
-    return re, im
+def _dif_last(re, im, wr, wi, ws, twr, twi, lvl=0):
+    """Radix-2 DIF along the last axis, output in dif_perm order.
 
-
-# ---------------------------------------------------------------------------
-# Radix-2 DIF variant: contiguous-half butterflies down to the dense base
-# matmuls, frequency order permuted (cancelled by a pre-permuted kernel) —
-# the in-VMEM port of ops.splitfft's radix path.
-# ---------------------------------------------------------------------------
-
-def _dif_last(re, im, wr, wi, ws, twr, twi):
-    """DIF along the last axis; one level if size == 2 * base."""
+    ``twr/twi`` are (L, N/2) stacks; row ``lvl`` holds the twiddles of the
+    current recursion size (entries [: size/2] valid).
+    """
     n = re.shape[-1]
     base = wr.shape[0]
     if n == base:
@@ -78,16 +106,17 @@ def _dif_last(re, im, wr, wi, ws, twr, twi):
     br, bi = re[..., h:], im[..., h:]
     sr, si = ar + br, ai + bi
     dr, di = ar - br, ai - bi
-    tr = dr * twr - di * twi
-    ti = dr * twi + di * twr
-    er, ei = _dif_last(sr, si, wr, wi, ws, twr, twi)
-    orr, oi = _dif_last(tr, ti, wr, wi, ws, twr, twi)
+    cw, sw = twr[lvl, :h], twi[lvl, :h]
+    tr = dr * cw - di * sw
+    ti = dr * sw + di * cw
+    er, ei = _dif_last(sr, si, wr, wi, ws, twr, twi, lvl + 1)
+    orr, oi = _dif_last(tr, ti, wr, wi, ws, twr, twi, lvl + 1)
     return (jnp.concatenate([er, orr], axis=-1),
             jnp.concatenate([ei, oi], axis=-1))
 
 
-def _dif_first(re, im, wr, wi, ws, twr, twi):
-    """DIF along axis -2 (left-multiplies; twiddle as a column). Batch-generic."""
+def _dif_first(re, im, wr, wi, ws, twr, twi, lvl=0):
+    """DIF along axis -2 (left-multiplies; twiddle as a column)."""
     n = re.shape[-2]
     base = wr.shape[0]
     if n == base:
@@ -97,49 +126,330 @@ def _dif_first(re, im, wr, wi, ws, twr, twi):
     br, bi = re[..., h:, :], im[..., h:, :]
     sr, si = ar + br, ai + bi
     dr, di = ar - br, ai - bi
-    tc_r = twr.reshape(-1, 1)
-    tc_i = twi.reshape(-1, 1)
+    tc_r = twr[lvl, :h].reshape(-1, 1)
+    tc_i = twi[lvl, :h].reshape(-1, 1)
     tr = dr * tc_r - di * tc_i
     ti = dr * tc_i + di * tc_r
-    er, ei = _dif_first(sr, si, wr, wi, ws, twr, twi)
-    orr, oi = _dif_first(tr, ti, wr, wi, ws, twr, twi)
+    er, ei = _dif_first(sr, si, wr, wi, ws, twr, twi, lvl + 1)
+    orr, oi = _dif_first(tr, ti, wr, wi, ws, twr, twi, lvl + 1)
     return (jnp.concatenate([er, orr], axis=-2),
             jnp.concatenate([ei, oi], axis=-2))
 
 
-def _idit_last(re, im, iwr, iwi, iws, twr, twi):
+def _idit_last(re, im, iwr, iwi, iws, twr, twi, lvl=0):
     """Inverse of _dif_last; iw* are the inverse-base matmuls (1/base folded)."""
     n = re.shape[-1]
     base = iwr.shape[0]
     if n == base:
         return _kar_right(re, im, iwr, iwi, iws)
     h = n // 2
-    sr, si = _idit_last(re[..., :h], im[..., :h], iwr, iwi, iws, twr, twi)
-    tr, ti = _idit_last(re[..., h:], im[..., h:], iwr, iwi, iws, twr, twi)
+    sr, si = _idit_last(re[..., :h], im[..., :h], iwr, iwi, iws, twr, twi,
+                        lvl + 1)
+    tr, ti = _idit_last(re[..., h:], im[..., h:], iwr, iwi, iws, twr, twi,
+                        lvl + 1)
+    cw, sw = twr[lvl, :h], twi[lvl, :h]
     # conj twiddle
-    dr = tr * twr + ti * twi
-    di = -tr * twi + ti * twr
+    dr = tr * cw + ti * sw
+    di = -tr * sw + ti * cw
     return (jnp.concatenate([(sr + dr) * 0.5, (sr - dr) * 0.5], axis=-1),
             jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=-1))
 
 
-def _idit_first(re, im, iwr, iwi, iws, twr, twi):
+def _idit_first(re, im, iwr, iwi, iws, twr, twi, lvl=0):
     n = re.shape[-2]
     base = iwr.shape[0]
     if n == base:
         return _kar_left(re, im, iwr, iwi, iws)
     h = n // 2
-    sr, si = _idit_first(re[..., :h, :], im[..., :h, :], iwr, iwi, iws, twr, twi)
-    tr, ti = _idit_first(re[..., h:, :], im[..., h:, :], iwr, iwi, iws, twr, twi)
-    tc_r = twr.reshape(-1, 1)
-    tc_i = twi.reshape(-1, 1)
+    sr, si = _idit_first(re[..., :h, :], im[..., :h, :], iwr, iwi, iws,
+                         twr, twi, lvl + 1)
+    tr, ti = _idit_first(re[..., h:, :], im[..., h:, :], iwr, iwi, iws,
+                         twr, twi, lvl + 1)
+    tc_r = twr[lvl, :h].reshape(-1, 1)
+    tc_i = twi[lvl, :h].reshape(-1, 1)
     dr = tr * tc_r + ti * tc_i
     di = -tr * tc_i + ti * tc_r
     return (jnp.concatenate([(sr + dr) * 0.5, (sr - dr) * 0.5], axis=-2),
             jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=-2))
 
 
-def _make_kernel(n_slice, inv_scale, k):
+def _fresnel_step(re, im, hr, hi, mats, conj_kernel=False):
+    """One free-space step in permuted frequency order, fully in VMEM.
+
+    ``conj_kernel=True`` applies conj(H) — the exact inverse of the step
+    (|H| = 1), used by the reverse sweep.
+    """
+    wr, wi, ws, iwr, iwi, iws, twr, twi = mats
+    re, im = _dif_last(re, im, wr, wi, ws, twr, twi)
+    re, im = _dif_first(re, im, wr, wi, ws, twr, twi)
+    if conj_kernel:
+        re, im = (re * hr + im * hi, -re * hi + im * hr)
+    else:
+        re, im = (re * hr - im * hi, re * hi + im * hr)
+    re, im = _idit_first(re, im, iwr, iwi, iws, twr, twi)
+    re, im = _idit_last(re, im, iwr, iwi, iws, twr, twi)
+    return re, im
+
+
+# ---------------------------------------------------------------------------
+# Host-side constant builders
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _radix_consts(n, base=None):
+    """Base matmuls (fwd + inv) and the per-level twiddle stacks for size n."""
+    base = min(n, base or _DFT_BASE)
+    wr, wi, ws = dft_mats(base)
+    iwr = (wr / base).astype(np.float32)
+    iwi = (-wi / base).astype(np.float32)
+    iws = (iwr + iwi).astype(np.float32)
+    sizes = []
+    m = n
+    while m > base:
+        sizes.append(m)
+        m //= 2
+    half = max(n // 2, 1)
+    twr = np.zeros((max(len(sizes), 1), half), np.float32)
+    twi = np.zeros_like(twr)
+    for lvl, size in enumerate(sizes):
+        c, s = _twiddles(size)
+        twr[lvl, : size // 2] = c
+        twi[lvl, : size // 2] = s
+    return (wr, wi, ws, iwr, iwi, iws, twr, twi)
+
+
+
+def _compiler_params(dim_y, dim_x):
+    """Raise the scoped-VMEM cap for big planes: the default 16 MB limit
+    rejects the 1024^2 working set (4 MB/plane) although the chip has the
+    physical VMEM; harmless for small planes (it is a cap, not a request)."""
+    if dim_y * dim_x * 4 >= 1 << 20:
+        return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Forward sweep kernel: grid (B, Z), field resident in VMEM scratch
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(n_slice, k):
+    def kernel(delta_ref, beta_ref, probe_re_ref, probe_im_ref,
+               hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
+               iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
+               out_re_ref, out_im_ref, fre, fim):
+        zi = pl.program_id(1)
+
+        @pl.when(zi == 0)
+        def _():
+            fre[:] = probe_re_ref[0]
+            fim[:] = probe_im_ref[0]
+
+        # refractive modulation: f *= exp(i k delta - k beta)
+        d = delta_ref[0, 0]
+        b = beta_ref[0, 0]
+        amp = jnp.exp(-k * b)
+        cr = amp * jnp.cos(k * d)
+        ci = amp * jnp.sin(k * d)
+        re = fre[:] * cr - fim[:] * ci
+        im = fre[:] * ci + fim[:] * cr
+
+        mats = (wr_ref[:], wi_ref[:], ws_ref[:],
+                iwr_ref[:], iwi_ref[:], iws_ref[:], twr_ref[:], twi_ref[:])
+        re, im = _fresnel_step(re, im, hr_ref[:], hi_ref[:], mats)
+        fre[:] = re
+        fim[:] = im
+
+        @pl.when(zi == n_slice - 1)
+        def _():
+            out_re_ref[0] = fre[:]
+            out_im_ref[0] = fim[:]
+
+    return kernel
+
+
+def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
+                      base=None):
+    """Run the forward sweep. delta_z/beta_z: (Z, B, Y, X); w: (B, Y, X)."""
+    n_slice, batch, dim_y, dim_x = delta_z.shape
+    consts = _radix_consts(dim_y, base)
+    twr = consts[6]
+
+    slice_spec = pl.BlockSpec((1, 1, dim_y, dim_x),
+                              lambda b, z: (z, b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    plane_b = pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
+                          memory_space=pltpu.VMEM)
+    base = consts[0].shape[0]
+    mat = pl.BlockSpec((base, base), lambda b, z: (0, 0),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twr.shape, lambda b, z: (0, 0),
+                      memory_space=pltpu.VMEM)
+
+    out_re, out_im = pl.pallas_call(
+        _make_fwd_kernel(n_slice, k),
+        grid=(batch, n_slice),
+        in_specs=[slice_spec, slice_spec, plane_b, plane_b, full2d, full2d,
+                  mat, mat, mat, mat, mat, mat, tw, tw],
+        out_specs=(plane_b, plane_b),
+        out_shape=(jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32),
+                        pltpu.VMEM((dim_y, dim_x), jnp.float32)],
+        compiler_params=_compiler_params(dim_y, dim_x),
+        interpret=interpret,
+    )(delta_z, beta_z, w_re, w_im, hr_p, hi_p,
+      *(jnp.asarray(c) for c in consts))
+    return out_re, out_im
+
+
+# ---------------------------------------------------------------------------
+# Backward sweep kernel: the invertible reverse pass as one fused kernel.
+# Semantics identical to ops.multislice._msi_bwd (XLA reference).
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(n_slice, k):
+    def kernel(delta_ref, beta_ref, w_re_ref, w_im_ref, g_re_ref, g_im_ref,
+               hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
+               iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
+               gd_ref, gb_ref, g0_re_ref, g0_im_ref,
+               wre, wim, gre, gim):
+        zi = pl.program_id(1)
+
+        @pl.when(zi == 0)
+        def _():
+            wre[:] = w_re_ref[0]
+            wim[:] = w_im_ref[0]
+            gre[:] = g_re_ref[0]
+            gim[:] = g_im_ref[0]
+
+        d = delta_ref[0, 0]
+        b = beta_ref[0, 0]
+        amp = jnp.exp(-k * b)
+        cr = amp * jnp.cos(k * d)
+        ci = amp * jnp.sin(k * d)
+
+        mats = (wr_ref[:], wi_ref[:], ws_ref[:],
+                iwr_ref[:], iwi_ref[:], iws_ref[:], twr_ref[:], twi_ref[:])
+        hr = hr_ref[:]
+        hi = hi_ref[:]
+        # reconstruct the modulated field m_i = P^-1(w_{i+1}) (unitary step:
+        # inverse == adjoint == same transform with conj(H))
+        m_re, m_im = _fresnel_step(wre[:], wim[:], hr, hi, mats,
+                                   conj_kernel=True)
+        # cotangent at m: real-adjoint of the unitary step
+        gm_re, gm_im = _fresnel_step(gre[:], gim[:], hr, hi, mats,
+                                     conj_kernel=True)
+        # reconstruct w_i = m * conj(c) / |c|^2   (|c|^2 = e^{-2 k beta})
+        inv = 1.0 / (cr * cr + ci * ci)
+        wp_re = (m_re * cr + m_im * ci) * inv
+        wp_im = (m_im * cr - m_re * ci) * inv
+        # slice gradients: gc = conj(w_i) * gm;  c = e^{-kb}(cos kd, sin kd)
+        gc_re = gm_re * wp_re + gm_im * wp_im
+        gc_im = -gm_re * wp_im + gm_im * wp_re
+        gd_ref[0, 0] = k * (gc_im * cr - gc_re * ci)
+        gb_ref[0, 0] = -k * (gc_re * cr + gc_im * ci)
+        # cotangent at w_i: conj(c) * gm
+        wre[:] = wp_re
+        wim[:] = wp_im
+        gre[:] = gm_re * cr + gm_im * ci
+        gim[:] = -gm_re * ci + gm_im * cr
+
+        @pl.when(zi == n_slice - 1)
+        def _():
+            g0_re_ref[0] = gre[:]
+            g0_im_ref[0] = gim[:]
+
+    return kernel
+
+
+def _pallas_sweep_bwd(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
+                      k, interpret, base=None):
+    """Reverse sweep: returns (gd_z, gb_z, g0_re, g0_im)."""
+    n_slice, batch, dim_y, dim_x = delta_z.shape
+    consts = _radix_consts(dim_y, base)
+    twr = consts[6]
+
+    rev_slice = pl.BlockSpec((1, 1, dim_y, dim_x),
+                             lambda b, z: (n_slice - 1 - z, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    plane_b = pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
+                          memory_space=pltpu.VMEM)
+    base = consts[0].shape[0]
+    mat = pl.BlockSpec((base, base), lambda b, z: (0, 0),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twr.shape, lambda b, z: (0, 0),
+                      memory_space=pltpu.VMEM)
+
+    gd, gb, g0_re, g0_im = pl.pallas_call(
+        _make_bwd_kernel(n_slice, k),
+        grid=(batch, n_slice),
+        in_specs=[rev_slice, rev_slice, plane_b, plane_b, plane_b, plane_b,
+                  full2d, full2d, mat, mat, mat, mat, mat, mat, tw, tw],
+        out_specs=(rev_slice, rev_slice, plane_b, plane_b),
+        out_shape=(
+            jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
+            jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
+            jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32),
+            jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=_compiler_params(dim_y, dim_x),
+        interpret=interpret,
+    )(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
+      *(jnp.asarray(c) for c in consts))
+    return gd, gb, g0_re, g0_im
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused op (drop-in for ops.multislice._multislice_split_invertible)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def multislice_pallas_invertible(delta_z, beta_z, w_re, w_im, hr_p, hi_p,
+                                 k, interpret=False, base=None):
+    """Fused multislice sweep with a fused invertible backward pass.
+
+    Args: (Z, B, Y, X) slice stacks, (B, Y, X) split probe, the PERMUTED
+    split Fresnel kernel (see splitfft.permute_kernel_2d), and
+    ``k = 2 pi dz / lambda``. Returns the (B, Y, X) split exit wave after
+    modulate+propagate at EVERY slice (the TF-engine convention,
+    ref tensorflow_recon/util.py:465-483).
+
+    Both passes are single pallas_calls: activation memory is O(1) and the
+    per-slice HBM traffic is one (delta, beta) stream in the forward and one
+    (delta, beta, gd, gb) stream in the backward.
+    """
+    return _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p,
+                             k, interpret, base)
+
+
+def _mpi_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret, base):
+    out = _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p,
+                            k, interpret, base)
+    return out, (delta_z, beta_z, out[0], out[1], hr_p, hi_p)
+
+
+def _mpi_bwd(k, interpret, base, res, cot):
+    delta_z, beta_z, out_re, out_im, hr_p, hi_p = res
+    g_re, g_im = cot
+    gd, gb, g0_re, g0_im = _pallas_sweep_bwd(
+        delta_z, beta_z, out_re, out_im, g_re, g_im, hr_p, hi_p, k, interpret,
+        base)
+    return gd, gb, g0_re, g0_im, None, None
+
+
+multislice_pallas_invertible.defvjp(_mpi_fwd, _mpi_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense (non-radix) fallback for non-square / non-power-of-two planes
+# ---------------------------------------------------------------------------
+
+def _make_kernel_dense(n_slice, inv_scale, k):
     def kernel(delta_ref, beta_ref, probe_re_ref, probe_im_ref,
                hr_ref, hi_ref, wry_ref, wiy_ref, wsy_ref,
                wrx_ref, wix_ref, wsx_ref,
@@ -151,7 +461,6 @@ def _make_kernel(n_slice, inv_scale, k):
             fre[:] = probe_re_ref[:]
             fim[:] = probe_im_ref[:]
 
-        # ---- refractive modulation: f *= exp(i k delta - k beta) ----------
         d = delta_ref[0]
         b = beta_ref[0]
         amp = jnp.exp(-k * b)
@@ -160,15 +469,17 @@ def _make_kernel(n_slice, inv_scale, k):
         re = fre[:] * cr - fim[:] * ci
         im = fre[:] * ci + fim[:] * cr
 
-        # ---- Fresnel step: ifft2(fft2(f) * H), all in VMEM ----------------
-        re, im = _fft2_vmem(re, im, wry_ref[:], wiy_ref[:], wsy_ref[:],
-                            wrx_ref[:], wix_ref[:], wsx_ref[:])
+        def fft2(re, im):
+            re, im = _kar_right(re, im, wrx_ref[:], wix_ref[:], wsx_ref[:])
+            re, im = _kar_left(re, im, wry_ref[:], wiy_ref[:], wsy_ref[:])
+            return re, im
+
+        re, im = fft2(re, im)
         hr = hr_ref[:]
         hi = hi_ref[:]
         re, im = (re * hr - im * hi, re * hi + im * hr)
         # inverse = conj(fft2(conj(.))) / (NY*NX)
-        re, im = _fft2_vmem(re, -im, wry_ref[:], wiy_ref[:], wsy_ref[:],
-                            wrx_ref[:], wix_ref[:], wsx_ref[:])
+        re, im = fft2(re, -im)
         fre[:] = re * inv_scale
         fim[:] = -im * inv_scale
 
@@ -180,116 +491,10 @@ def _make_kernel(n_slice, inv_scale, k):
     return kernel
 
 
-def _make_kernel_radix(n_slice, k, base):
-    """Fused slice-step kernel with one radix-2 DIF level per axis.
-
-    Inputs: base-size dense forward mats (wr, wi, ws), inverse mats
-    (iwr, iwi, iws — 1/base folded in), twiddles (1, base), and the
-    frequency-PERMUTED Fresnel kernel (see splitfft.permute_kernel_2d).
-    Square (N, N) planes with N == base or N == 2*base.
-    """
-    def kernel(delta_ref, beta_ref, probe_re_ref, probe_im_ref,
-               hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
-               iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
-               out_re_ref, out_im_ref, fre, fim):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            fre[:] = probe_re_ref[:]
-            fim[:] = probe_im_ref[:]
-
-        d = delta_ref[0]
-        b = beta_ref[0]
-        amp = jnp.exp(-k * b)
-        cr = amp * jnp.cos(k * d)
-        ci = amp * jnp.sin(k * d)
-        re = fre[:] * cr - fim[:] * ci
-        im = fre[:] * ci + fim[:] * cr
-
-        wr, wi, ws = wr_ref[:], wi_ref[:], ws_ref[:]
-        iwr, iwi, iws = iwr_ref[:], iwi_ref[:], iws_ref[:]
-        twr = twr_ref[0]
-        twi = twi_ref[0]
-
-        # forward (permuted order) both axes
-        re, im = _dif_last(re, im, wr, wi, ws, twr, twi)
-        re, im = _dif_first(re, im, wr, wi, ws, twr, twi)
-        # permuted-kernel multiply
-        hr = hr_ref[:]
-        hi = hi_ref[:]
-        re, im = (re * hr - im * hi, re * hi + im * hr)
-        # inverse (consumes permuted order, emits natural)
-        re, im = _idit_first(re, im, iwr, iwi, iws, twr, twi)
-        re, im = _idit_last(re, im, iwr, iwi, iws, twr, twi)
-        fre[:] = re
-        fim[:] = im
-
-        @pl.when(i == n_slice - 1)
-        def _():
-            out_re_ref[:] = fre[:]
-            out_im_ref[:] = fim[:]
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("energy_ev", "psize_cm",
                                              "interpret"))
-def _run_radix(delta_zyx, beta_zyx, probe_re, probe_im, hr_p, hi_p,
+def _run_dense(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
                energy_ev, psize_cm, interpret):
-    """Radix-DIF variant of :func:`_run` for square N in {128, 256}."""
-    from .splitfft import _twiddles, _DFT_BASE
-    n_slice, dim_y, dim_x = delta_zyx.shape
-    n = dim_y
-    base = min(n, _DFT_BASE)
-    voxel_nm = psize_cm * 1e7
-    lmbda_nm = 1240.0 / energy_ev
-    k = np.float32(2.0 * PI * voxel_nm / lmbda_nm)
-
-    wr, wi, ws = dft_mats(base)
-    # inverse base transform: conj matrix / base
-    iwr = (wr / base).astype(np.float32)
-    iwi = (-wi / base).astype(np.float32)
-    iws = (iwr + iwi).astype(np.float32)
-    if n > base:
-        twr, twi = _twiddles(n)
-    else:
-        twr = np.ones((base,), np.float32)
-        twi = np.zeros((base,), np.float32)
-    twr = twr.reshape(1, -1)
-    twi = twi.reshape(1, -1)
-
-    slice_spec = pl.BlockSpec((1, dim_y, dim_x), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-    full2d = pl.BlockSpec((dim_y, dim_x), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((base, base), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((1, twr.shape[1]), lambda i: (0, 0),
-                      memory_space=pltpu.VMEM)
-
-    out_re, out_im = pl.pallas_call(
-        _make_kernel_radix(n_slice, k, base),
-        grid=(n_slice,),
-        in_specs=[slice_spec, slice_spec, full2d, full2d, full2d, full2d,
-                  mat, mat, mat, mat, mat, mat, tw, tw],
-        out_specs=(full2d, full2d),
-        out_shape=(jax.ShapeDtypeStruct((dim_y, dim_x), jnp.float32),
-                   jax.ShapeDtypeStruct((dim_y, dim_x), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32),
-                        pltpu.VMEM((dim_y, dim_x), jnp.float32)],
-        interpret=interpret,
-    )(delta_zyx, beta_zyx, probe_re, probe_im, hr_p, hi_p,
-      jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(ws),
-      jnp.asarray(iwr), jnp.asarray(iwi), jnp.asarray(iws),
-      jnp.asarray(twr), jnp.asarray(twi))
-    return out_re, out_im
-
-
-@functools.partial(jax.jit, static_argnames=("energy_ev", "psize_cm",
-                                             "interpret"))
-def _run(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
-         energy_ev, psize_cm, interpret):
     n_slice, dim_y, dim_x = delta_zyx.shape
     voxel_nm = psize_cm * 1e7
     lmbda_nm = 1240.0 / energy_ev
@@ -309,7 +514,7 @@ def _run(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
                         memory_space=pltpu.VMEM)
 
     out_re, out_im = pl.pallas_call(
-        _make_kernel(n_slice, inv_scale, k),
+        _make_kernel_dense(n_slice, inv_scale, k),
         grid=(n_slice,),
         in_specs=[slice_spec, slice_spec, full2d, full2d, full2d, full2d,
                   maty, maty, maty, matx, matx, matx],
@@ -331,8 +536,9 @@ def multislice_pallas_split(grid_delta, grid_beta, probe_re, probe_im,
 
     Semantics match ``multislice_propagate_batch(..., propagate_last=True,
     free_prop_cm=None)`` for a single batch item, returning the split
-    ``(re, im)`` exit wave of shape (Y, X). For batches, vmap is NOT used
-    (the field scratch is per-core); call per item or extend the grid.
+    ``(re, im)`` exit wave of shape (Y, X). Differentiable on the radix path
+    (square power-of-two planes) via the fused invertible backward kernel;
+    use :func:`multislice_pallas_invertible` directly for batches.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU (tests).
     """
@@ -340,10 +546,10 @@ def multislice_pallas_split(grid_delta, grid_beta, probe_re, probe_im,
     grid_beta = jnp.asarray(grid_beta, jnp.float32)
     dim_y, dim_x, n_slice = grid_delta.shape
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0]).lower()
+        interpret = not _on_tpu()
     voxel_nm = np.array([psize_cm] * 3) * 1e7
     lmbda_nm = 1240.0 / energy_ev
+    k = np.float32(2.0 * PI * voxel_nm[-1] / lmbda_nm)
     if h is None:
         h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
     h_if = ifftshift2(np.asarray(h))
@@ -353,16 +559,17 @@ def multislice_pallas_split(grid_delta, grid_beta, probe_re, probe_im,
                                 (dim_y, dim_x))
     probe_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
                                 (dim_y, dim_x))
-    from .splitfft import _DFT_BASE, permute_kernel_2d
     if radix is None:
-        radix = dim_y == dim_x and dim_y in (_DFT_BASE, 2 * _DFT_BASE)
+        radix = pallas_shape_ok(dim_y, dim_x)
     if radix:
         h_p = permute_kernel_2d(h_if)
         hr = jnp.asarray(np.real(h_p).astype(np.float32))
         hi = jnp.asarray(np.imag(h_p).astype(np.float32))
-        return _run_radix(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
-                          float(energy_ev), float(psize_cm), bool(interpret))
+        out_re, out_im = multislice_pallas_invertible(
+            delta_zyx[:, None], beta_zyx[:, None], probe_re[None],
+            probe_im[None], hr, hi, float(k), bool(interpret))
+        return out_re[0], out_im[0]
     hr = jnp.asarray(np.real(h_if).astype(np.float32))
     hi = jnp.asarray(np.imag(h_if).astype(np.float32))
-    return _run(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
-                float(energy_ev), float(psize_cm), bool(interpret))
+    return _run_dense(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
+                      float(energy_ev), float(psize_cm), bool(interpret))

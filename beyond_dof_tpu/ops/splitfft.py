@@ -113,18 +113,20 @@ def _twiddles(n):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=16)
-def dif_perm(n):
+@functools.lru_cache(maxsize=32)
+def dif_perm(n, base=None):
     """Output-position -> frequency-index permutation of the DIF transform.
 
     The decimation-in-frequency recursion below emits coefficients in
-    block-interleaved ("bit-reversed blocks of _DFT_BASE") order. Instead of
+    block-interleaved ("bit-reversed blocks of ``base``") order. Instead of
     reordering data on device, the Fresnel kernel is permuted once on the
     host (see :func:`permute_kernel_2d`).
     """
-    if n <= _DFT_BASE or n % 2:
+    if base is None:
+        base = _DFT_BASE
+    if n <= base or n % 2:
         return np.arange(n)
-    half = dif_perm(n // 2)
+    half = dif_perm(n // 2, base)
     return np.concatenate([2 * half, 2 * half + 1])
 
 
@@ -171,11 +173,11 @@ def _idft_dit(re, im):
             jnp.concatenate([(si + di) * 0.5, (si - di) * 0.5], axis=-1))
 
 
-def permute_kernel_2d(h_if):
+def permute_kernel_2d(h_if, base=None):
     """Pre-permute an (Y, X) frequency-space kernel into dif_perm order on
     both axes, for use with the permuted-order transform pair."""
     ny, nx = h_if.shape
-    return np.asarray(h_if)[np.ix_(dif_perm(ny), dif_perm(nx))]
+    return np.asarray(h_if)[np.ix_(dif_perm(ny, base), dif_perm(nx, base))]
 
 
 def apply_kernel_split_perm(re, im, hr_p, hi_p):

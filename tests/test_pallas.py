@@ -1,0 +1,115 @@
+"""Fused Pallas multislice kernels: forward, batched grid, invertible VJP.
+
+Runs in interpreter mode on CPU; the same kernels compile for TPU. The
+multi-level radix path (N = base * 2^m) is exercised with a small ``base``
+override so the per-level twiddle indexing is covered without 512^2 planes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from beyond_dof_tpu.constants import PI
+from beyond_dof_tpu.models.phantom import adhesin_phantom
+from beyond_dof_tpu.ops.fresnel import get_kernel, ifftshift2
+from beyond_dof_tpu.ops.multislice import (multislice_propagate_batch,
+                                           multislice_propagate_batch_split)
+from beyond_dof_tpu.ops.pallas_kernels import (multislice_pallas_invertible,
+                                               pallas_shape_ok)
+from beyond_dof_tpu.ops.splitfft import permute_kernel_2d
+
+
+def _setup(n, n_slice, batch, base=None, seed=0):
+    rng = np.random.RandomState(seed)
+    delta = rng.rand(n_slice, batch, n, n).astype(np.float32) * 1e-6
+    beta = rng.rand(n_slice, batch, n, n).astype(np.float32) * 1e-7
+    energy_ev, psize_cm = 5000.0, 1e-7
+    voxel_nm = psize_cm * 1e7
+    lmbda_nm = 1240.0 / energy_ev
+    k = float(2.0 * PI * voxel_nm / lmbda_nm)
+    h = get_kernel(voxel_nm, lmbda_nm, [voxel_nm] * 3, (n, n))
+    h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
+    hr = jnp.asarray(np.real(h_p).astype(np.float32))
+    hi = jnp.asarray(np.imag(h_p).astype(np.float32))
+    w_re = jnp.ones((batch, n, n), jnp.float32)
+    w_im = jnp.zeros((batch, n, n), jnp.float32)
+    return delta, beta, w_re, w_im, hr, hi, k, energy_ev, psize_cm
+
+
+def _complex_ref(delta, beta, energy_ev, psize_cm):
+    """Reference exit wave via the complex lax.scan path."""
+    d = np.transpose(delta, (1, 2, 3, 0))  # (Z,B,Y,X) -> (B,Y,X,Z)
+    b = np.transpose(beta, (1, 2, 3, 0))
+    probe = np.ones(delta.shape[2:], np.complex64)
+    return np.asarray(multislice_propagate_batch(
+        d, b, probe, energy_ev, psize_cm, propagate_last=True))
+
+
+@pytest.mark.parametrize("n,base", [(16, None), (32, 8)])
+def test_pallas_forward_batched_matches_complex(n, base):
+    """Batched fused forward vs the complex scan — includes a 2-level radix
+    case (n=32, base=8) covering the per-level twiddle stacks."""
+    delta, beta, w_re, w_im, hr, hi, k, ev, ps = _setup(n, 6, 3, base=base)
+    out_re, out_im = multislice_pallas_invertible(
+        jnp.asarray(delta), jnp.asarray(beta), w_re, w_im, hr, hi, k,
+        True, base)
+    ref = _complex_ref(delta, beta, ev, ps)
+    out = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.abs(out - ref).max() < 1e-5
+
+
+@pytest.mark.parametrize("n,base", [(16, None), (32, 8)])
+def test_pallas_invertible_gradients_match_xla(n, base):
+    """Gradient parity: fused Pallas reverse sweep vs the XLA checkpoint
+    path, for the object slices AND the probe cotangent."""
+    delta, beta, w_re, w_im, hr, hi, k, ev, ps = _setup(n, 5, 2, base=base)
+    rng = np.random.RandomState(1)
+    target = jnp.asarray(rng.rand(2, n, n).astype(np.float32))
+
+    def loss_pallas(d, b, wr, wi):
+        re, im = multislice_pallas_invertible(d, b, wr, wi, hr, hi, k,
+                                              True, base)
+        return jnp.mean((jnp.sqrt(re * re + im * im) - target) ** 2)
+
+    def loss_xla(d, b, wr, wi):
+        dt = jnp.transpose(d, (1, 2, 3, 0))
+        bt = jnp.transpose(b, (1, 2, 3, 0))
+        re, im = multislice_propagate_batch_split(
+            dt, bt, wr, wi, ev, ps, propagate_last=True, remat=True,
+            use_pallas=False)
+        return jnp.mean((jnp.sqrt(re * re + im * im) - target) ** 2)
+
+    args = (jnp.asarray(delta), jnp.asarray(beta), w_re, w_im)
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(*args)
+    for gp, gx, name in zip(g_p, g_x, ("delta", "beta", "probe_re",
+                                       "probe_im")):
+        gx = np.asarray(gx)
+        scale = np.abs(gx).max() + 1e-30
+        assert np.abs(np.asarray(gp) - gx).max() / scale < 1e-4, name
+
+
+def test_split_path_routes_to_pallas():
+    """multislice_propagate_batch_split(remat='invertible', use_pallas=True)
+    equals the XLA invertible path bit-for-almost."""
+    gd, gb = adhesin_phantom(16)
+    pr = np.ones((16, 16), np.float32)
+    pi = np.zeros((16, 16), np.float32)
+    re_p, im_p = multislice_propagate_batch_split(
+        gd[None], gb[None], pr, pi, 800, 0.67e-7, remat="invertible",
+        use_pallas=True)
+    re_x, im_x = multislice_propagate_batch_split(
+        gd[None], gb[None], pr, pi, 800, 0.67e-7, remat="invertible",
+        use_pallas=False)
+    assert np.abs(np.asarray(re_p) - np.asarray(re_x)).max() < 5e-6
+    assert np.abs(np.asarray(im_p) - np.asarray(im_x)).max() < 5e-6
+
+
+def test_pallas_shape_ok():
+    assert pallas_shape_ok(128, 128) and pallas_shape_ok(256, 256)
+    assert pallas_shape_ok(512, 512) and pallas_shape_ok(1024, 1024)
+    assert pallas_shape_ok(64, 64)
+    assert not pallas_shape_ok(128, 256)
+    assert not pallas_shape_ok(384, 384)  # 3 * 128: not a power-of-two mult
+    assert pallas_shape_ok(32, 32, base=8)
