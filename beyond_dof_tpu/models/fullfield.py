@@ -90,19 +90,40 @@ def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
 def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
                                    probe_re, probe_im, energy_ev, psize_cm,
                                    free_prop_cm=None, h=None,
-                                   propagate_last=True, remat=True):
+                                   propagate_last=True, remat=True,
+                                   forward_algorithm="fresnel",
+                                   kernel_size=17, tile_mesh=None,
+                                   use_pallas=None):
     """Split-complex forward model: returns (re, im) wavefield pair.
 
     Complex-dtype-free twin of :func:`rotate_and_project_batch` for TPU
     backends without complex64 support (rotation is real; the multislice
-    runs through the MXU matmul-DFT path of ops.splitfft).
+    runs through the MXU matmul-DFT path of ops.splitfft, or — for
+    ``forward_algorithm='conv'`` — the separable truncated-kernel matmul
+    propagator, shard_mapped over ``tile_mesh`` (ty, tx) when given).
     """
     rot = jax.vmap(lambda th: (rotate_volume(obj_delta, th),
                                rotate_volume(obj_beta, th)))
     delta_rot, beta_rot = rot(theta_batch)
+    if forward_algorithm == "conv":
+        from ..ops.tiled import (multislice_propagate_cnn_split,
+                                 multislice_propagate_tiled_split)
+        if tile_mesh is not None:
+            return multislice_propagate_tiled_split(
+                delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
+                tile_mesh, kernel_size=kernel_size,
+                free_prop_cm=free_prop_cm, remat=bool(remat))
+        return multislice_propagate_cnn_split(
+            delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
+            kernel_size=kernel_size, free_prop_cm=free_prop_cm,
+            remat=bool(remat))
+    if forward_algorithm != "fresnel":
+        raise ValueError("split forward supports 'fresnel' and 'conv'; got %r"
+                         % (forward_algorithm,))
     return multislice_propagate_batch_split(
         delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm, h=h,
-        free_prop_cm=free_prop_cm, propagate_last=propagate_last, remat=remat)
+        free_prop_cm=free_prop_cm, propagate_last=propagate_last, remat=remat,
+        use_pallas=use_pallas)
 
 
 def fullfield_loss(exiting_batch, data_mag_batch):

@@ -404,11 +404,14 @@ def multislice_propagate_cnn_split(grid_delta, grid_beta, probe_re, probe_im,
 
 def multislice_propagate_tiled_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, mesh, kernel_size=17,
-                                     remat=True, renormalize=True):
+                                     free_prop_cm=None, remat=True,
+                                     renormalize=True):
     """Split-complex halo-exchange tiled multislice over a (ty, tx) mesh.
 
     The complex-free twin of :func:`multislice_propagate_tiled` — per-slice
     ppermute halo exchange of (re, im) strips over ICI. Returns ``(re, im)``.
+    The final sample-to-detector step (``free_prop_cm``) runs through the
+    split matmul-DFT on the gathered plane (GSPMD inserts the collectives).
     """
     assert kernel_size % 2 == 1, "kernel_size must be an odd number."
     grid_delta = jnp.asarray(grid_delta, jnp.float32)
@@ -480,4 +483,19 @@ def multislice_propagate_tiled_split(grid_delta, grid_beta, probe_re, probe_im,
         sr = (init_r * fr + init_i * fi) / denom
         si = (init_i * fr - init_r * fi) / denom
         wr, wi = wr * sr - wi * si, wr * si + wi * sr
+
+    if free_prop_cm is not None:
+        from .splitfft import (apply_kernel_split_perm, permute_kernel_2d,
+                               cfft2_split)
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            wr, wi = cfft2_split(wr, wi)
+            wr = jnp.fft.fftshift(wr, axes=(-2, -1))
+            wi = jnp.fft.fftshift(wi, axes=(-2, -1))
+        else:
+            h = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                           (dim_y, dim_x))
+            h_p = permute_kernel_2d(ifftshift2(np.asarray(h)))
+            wr, wi = apply_kernel_split_perm(
+                wr, wi, jnp.asarray(np.real(h_p).astype(np.float32)),
+                jnp.asarray(np.imag(h_p).astype(np.float32)))
     return wr, wi

@@ -105,7 +105,9 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
             re, im = rotate_and_project_batch_split(
                 obj_delta, obj_beta, theta_batch, p_re, p_im, energy_ev,
                 psize_cm, free_prop_cm=free_prop_cm, h=h,
-                propagate_last=propagate_last, remat=remat)
+                propagate_last=propagate_last, remat=remat,
+                forward_algorithm=forward_algorithm,
+                kernel_size=kernel_size, tile_mesh=tile_mesh)
             err = jnp.mean((jnp.sqrt(re * re + im * im) - prj_mag) ** 2)
         else:
             if optimize_probe:
@@ -296,10 +298,12 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           ("dist_to_source_cm", "det_psize_cm",
                            "theta_max", "phi_max") if k in kwargs}
         # 'auto': use the split-complex forward when the backend rejects
-        # complex64 (only the fresnel path has a split twin)
+        # complex64 (the fresnel AND conv/tiled paths have split twins, so
+        # the headline distributed propagator can drive a reconstruction on
+        # complex-free TPU runtimes)
         if split_complex == "auto":
             from ..ops.splitfft import complex_supported
-            use_split = (eff_forward == "fresnel" and tile_mesh is None
+            use_split = (eff_forward in ("fresnel", "conv")
                          and not complex_supported())
         else:
             use_split = bool(split_complex)
