@@ -170,6 +170,88 @@ PTYCHO_PRESETS = {
         "probe_pos": [(y, x) for y in np.arange(23) * 12
                       for x in np.arange(23) * 12],
     },
+    # single-projection 2D ptycho (ref params_2d, reconstruct_ptycho.py:81-113)
+    "ptycho_2d": {
+        "phantom": {"kind": "cone_foam", "size": 256, "flat": True},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "n_theta": 1,
+                     "theta_end": 0, "probe_size": (72, 72),
+                     "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                     "probe_phase_max": 0.5},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 500,
+                        "obj_size": (256, 256, 1), "alpha_d": 0,
+                        "alpha_b": 0, "gamma": 5e-11, "probe_size": (72, 72),
+                        "learning_rate": 1e-6, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "multiscale_level": 1,
+                        "n_dp_batch": 20, "probe_type": "gaussian",
+                        "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                        "probe_phase_max": 0.5,
+                        "forward_algorithm": "fresnel",
+                        "object_type": "normal"},
+        "probe_pos": [(y, x) for y in np.arange(23) * 12
+                      for x in np.arange(23) * 12],
+    },
+    # phase-only 2D cell (ref params_2d_cell, reconstruct_ptycho.py:115-151;
+    # the reference's measured cell dataset is replaced by a flat phantom —
+    # its data file is not in the repository)
+    "cell_ptycho_2d": {
+        "phantom": {"kind": "cone_foam", "size": 325, "flat": True},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "n_theta": 1,
+                     "theta_end": 0, "probe_size": (72, 72),
+                     "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                     "probe_phase_max": 0.5},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
+                        "obj_size": (325, 325, 1), "alpha_d": 0,
+                        "alpha_b": 0, "gamma": 0, "probe_size": (72, 72),
+                        "learning_rate": 4e-3, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "multiscale_level": 1,
+                        "n_dp_batch": 20, "probe_type": "gaussian",
+                        "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                        "probe_phase_max": 0.5,
+                        "forward_algorithm": "fresnel",
+                        "object_type": "phase_only"},
+        "probe_pos": [(y, x) for y in np.arange(33) * 10
+                      for x in np.arange(34) * 10],
+    },
+    # Poisson-noisy cone resume run (ref params_cone_marc_noisy,
+    # reconstruct_ptycho.py:153-188; the reference warm-starts from a prior
+    # reconstruction via initial_guess — pass one to reconstruct_ptychography)
+    "cone_ptycho_noisy": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "n_theta": 500,
+                     "theta_end": 2 * PI, "probe_size": (72, 72),
+                     "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                     "probe_phase_max": 0.5, "n_photons_total": 2e5},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 1,
+                        "obj_size": (256, 256, 256), "alpha_d": 1e-9,
+                        "alpha_b": 1e-10, "gamma": 1e-9,
+                        "probe_size": (72, 72), "learning_rate": 1e-7,
+                        "energy_ev": 5000, "psize_cm": 1.e-7,
+                        "multiscale_level": 1, "n_dp_batch": 20,
+                        "probe_type": "gaussian", "probe_mag_sigma": 6,
+                        "probe_phase_sigma": 6, "probe_phase_max": 0.5,
+                        "forward_algorithm": "fresnel"},
+        "probe_pos": [(y, x) for y in np.arange(23) * 12
+                      for x in np.arange(23) * 12],
+    },
+    # finite-difference (BPM) forward cone ptycho (ref params_cone,
+    # reconstruct_ptycho.py:190-221, forward_algorithm='fd')
+    "cone_ptycho_fd": {
+        "phantom": {"kind": "cone_foam", "size": 256},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "n_theta": 500,
+                     "theta_end": 2 * PI, "probe_size": (72, 72),
+                     "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                     "probe_phase_max": 0.5},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 1,
+                        "obj_size": (256, 256, 256), "alpha_d": 0,
+                        "alpha_b": 0, "gamma": 0, "probe_size": (72, 72),
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "multiscale_level": 1,
+                        "n_dp_batch": 100, "probe_type": "gaussian",
+                        "probe_mag_sigma": 6, "probe_phase_sigma": 6,
+                        "probe_phase_max": 0.5, "forward_algorithm": "fd"},
+        "probe_pos": [(y, x) for y in np.arange(23) * 12
+                      for x in np.arange(23) * 12],
+    },
 }
 
 

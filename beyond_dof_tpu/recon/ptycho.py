@@ -35,7 +35,7 @@ from ..ops.regularizers import regularization_term, probe_tv
 from ..ops.image import circ_mask, gaussian_filter_nd
 from ..io import tiff
 from ..io.exchange import read_exchange_data
-from ..io.checkpoint import save_checkpoint
+from ..io.checkpoint import save_checkpoint, restore_checkpoint
 from ..parallel.mesh import data_sharding
 from ..utils.misc import print_flush, create_summary, ptycho_output_folder
 from .engine import make_optimizer, apply_projection
@@ -364,6 +364,23 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         active_pos_idx = np.arange(n_pos_full)
         mag_shard = data_sharding(mesh, 4) if mesh is not None else None
 
+        # ---- checkpoint resume (mirrors the full-field engine) --------------
+        # The dropping state is persisted as a fixed-length boolean mask so
+        # the Orbax template shape is static.
+        start_epoch = 0
+        if checkpoint_dir:
+            lvl_dir = os.path.join(checkpoint_dir, "ds_%d" % ds_level)
+            template = {"params": params, "opt_state": opt_state, "epoch": 0,
+                        "active_mask": jnp.ones((n_pos_full,), jnp.bool_)}
+            state, ck_epoch = restore_checkpoint(lvl_dir, template)
+            if state is not None:
+                params = state["params"]
+                opt_state = state["opt_state"]
+                start_epoch = int(state["epoch"]) + 1
+                active_pos_idx = np.arange(n_pos_full)[
+                    np.asarray(state["active_mask"])]
+                _log("Resumed from checkpoint at epoch %d" % start_epoch)
+
         n_loop = n_epochs if n_epochs != "auto" else max_nepochs
         if ds_level == 1 and n_epoch_final_pass is not None:
             n_loop = n_epoch_final_pass
@@ -371,7 +388,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         t0 = time.time()
         _log("Optimizer started.")
 
-        for epoch in range(n_loop):
+        for epoch in range(start_epoch, n_loop):
             t00 = time.time()
             blocks = _make_job_blocks(n_theta, active_pos_idx, minibatch_size,
                                       n_groups, rng)
@@ -398,22 +415,38 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
 
             if checkpoint_dir and checkpoint_every and \
                     (epoch + 1) % checkpoint_every == 0:
+                active_mask = np.zeros((n_pos_full,), np.bool_)
+                active_mask[active_pos_idx] = True
                 save_checkpoint(os.path.join(checkpoint_dir, "ds_%d" % ds_level),
                                 epoch, {"params": params, "opt_state": opt_state,
-                                        "epoch": epoch})
+                                        "epoch": epoch,
+                                        "active_mask": jnp.asarray(active_mask)})
 
             if dynamic_dropping and len(active_pos_idx) > minibatch_size:
-                # per-position loss at theta index 0 (ref cnn ptychography.py:323-342)
-                losses = np.empty(len(active_pos_idx), np.float32)
-                for c0 in range(0, len(active_pos_idx), n_dp_batch):
-                    sel = active_pos_idx[c0:c0 + n_dp_batch]
-                    blk = _gather_block(this_prj_mag,
-                                        np.asarray([theta_index[0]]),
-                                        np.asarray(sel)[None], block_ds)[0]
-                    pl = position_loss(params, jnp.float32(theta[0]),
-                                       jnp.asarray(this_pos[sel], jnp.int32),
-                                       jnp.asarray(blk))
-                    losses[c0:c0 + len(sel)] = np.asarray(pl)
+                # Per-position loss judged over SEVERAL angles (a rotating
+                # base angle + random others), dropping only positions
+                # converged at ALL of them. The reference evaluated on each
+                # rank's own current angles (ref cnn ptychography.py:323-342);
+                # a single fixed angle would systematically drop positions
+                # that are only converged at theta = 0.
+                n_ang = min(n_theta, 4)
+                ang_sel = [epoch % n_theta]
+                if n_ang > 1:
+                    others = rng.choice(np.delete(np.arange(n_theta), ang_sel),
+                                        n_ang - 1, replace=False)
+                    ang_sel += list(others)
+                losses = np.zeros(len(active_pos_idx), np.float32)
+                for i_ang in ang_sel:
+                    for c0 in range(0, len(active_pos_idx), n_dp_batch):
+                        sel = active_pos_idx[c0:c0 + n_dp_batch]
+                        blk = _gather_block(this_prj_mag,
+                                            np.asarray([theta_index[i_ang]]),
+                                            np.asarray(sel)[None], block_ds)[0]
+                        pl = position_loss(params, jnp.float32(theta[i_ang]),
+                                           jnp.asarray(this_pos[sel], jnp.int32),
+                                           jnp.asarray(blk))
+                        losses[c0:c0 + len(sel)] = np.maximum(
+                            losses[c0:c0 + len(sel)], np.asarray(pl))
                 keep = losses >= dropping_threshold
                 if keep.sum() >= minibatch_size:
                     dropped = (~keep).sum()

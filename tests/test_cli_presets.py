@@ -17,9 +17,21 @@ def test_presets_complete():
         assert name in FULLFIELD_PRESETS
         p = FULLFIELD_PRESETS[name]
         assert "phantom" in p and "simulate" in p and "reconstruct" in p
-    for name in ["adhesin_ptycho", "cone_ptycho"]:
+    # the reference ships 6 ptycho experiment dicts
+    # (ref reconstruct_ptycho.py:9-221)
+    for name in ["adhesin_ptycho", "cone_ptycho", "ptycho_2d",
+                 "cell_ptycho_2d", "cone_ptycho_noisy", "cone_ptycho_fd"]:
         assert name in PTYCHO_PRESETS
+        p = PTYCHO_PRESETS[name]
+        assert "phantom" in p and "simulate" in p and "reconstruct" in p
+    for name in ["adhesin_ptycho", "cone_ptycho", "ptycho_2d",
+                 "cone_ptycho_noisy", "cone_ptycho_fd"]:
         assert len(PTYCHO_PRESETS[name]["probe_pos"]) == 529  # 23 x 23 grid
+    assert len(PTYCHO_PRESETS["cell_ptycho_2d"]["probe_pos"]) == 33 * 34
+    assert PTYCHO_PRESETS["cone_ptycho_fd"]["reconstruct"][
+        "forward_algorithm"] == "fd"
+    assert PTYCHO_PRESETS["cell_ptycho_2d"]["reconstruct"][
+        "object_type"] == "phase_only"
 
 
 def test_make_phantom_kinds():

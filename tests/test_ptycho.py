@@ -81,6 +81,47 @@ def test_ptycho_dynamic_dropping_drops(ptycho_setup):
     assert info["n_active_positions"][-1] <= len(pos)
 
 
+def test_ptycho_dropping_judges_multiple_angles(ptycho_setup):
+    """A position converged at theta=0 but NOT at other angles must not be
+    dropped (the reference judged on the ranks' own current angles,
+    ref cnn_propagator/ptychography.py:323-342; a single fixed angle would
+    drop it)."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    bad = np.abs(np.asarray(data)).astype(np.float32)
+    bad[1:] += 0.5  # every angle except theta=0 is far from the model
+    d, b, info = reconstruct_ptychography(
+        probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24), data=bad,
+        theta_end=2 * np.pi, n_epochs=1, alpha_d=0, alpha_b=0, gamma=0,
+        learning_rate=1e-30, minibatch_size=4, energy_ev=5000, psize_cm=1e-7,
+        probe_type="gaussian", probe_mag_sigma=3, probe_phase_sigma=3,
+        probe_phase_max=0.5, save_outputs=False, verbose=False, seed=0,
+        initial_guess=(gd, gb),  # truth: theta=0 loss ~ 0, others ~ 0.25
+        dynamic_dropping=True, dropping_threshold=1e-5)
+    assert info["n_active_positions"][-1] == len(pos)
+
+
+def test_ptycho_checkpoint_resume(ptycho_setup, tmp_path):
+    """Ptycho engine restores params/opt_state/epoch/dropping state from an
+    Orbax checkpoint (mirror of the full-field resume; VERDICT r1 item 6)."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    ckpt = str(tmp_path / "ck")
+    common = dict(probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24),
+                  data=data, theta_end=2 * np.pi, alpha_d=0, alpha_b=0,
+                  gamma=0, learning_rate=1e-7, minibatch_size=4,
+                  energy_ev=5000, psize_cm=1e-7, probe_type="gaussian",
+                  probe_mag_sigma=3, probe_phase_sigma=3, probe_phase_max=0.5,
+                  save_outputs=False, verbose=False, seed=0,
+                  dynamic_dropping=True, dropping_threshold=1e3,
+                  checkpoint_dir=ckpt, checkpoint_every=1)
+    d1, b1, i1 = reconstruct_ptychography(n_epochs=2, **common)
+    n_active_after = i1["n_active_positions"][-1]
+    # resume: epochs 0-1 are skipped, epochs 2-3 run
+    d2, b2, i2 = reconstruct_ptychography(n_epochs=4, **common)
+    assert len(i2["loss"]) == 2  # only the resumed epochs
+    assert i2["n_active_positions"][0] <= n_active_after  # dropping restored
+    assert np.isfinite(i2["loss"]).all()
+
+
 def test_ptycho_optimizable_probe_updates(ptycho_setup):
     gd, gb, pos, probe_size, data = ptycho_setup
     d, b, info = reconstruct_ptychography(
