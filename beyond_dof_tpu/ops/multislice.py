@@ -402,7 +402,11 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      pallas_shape_ok, _on_tpu)
         eligible = pallas_shape_ok(dim_y, dim_x)
         if use_pallas is None:
-            use_pallas = eligible and _on_tpu()
+            # measured on v5e-1: the fused kernel wins up to 512^2
+            # (30.1k vs 19.9k slices/s fwd) but loses at 1024^2 (6.3k vs
+            # 11.3k — VMEM pressure defeats pipelining); auto-route
+            # accordingly, forced use_pallas=True still allowed
+            use_pallas = eligible and dim_y <= 512 and _on_tpu()
         elif use_pallas and not eligible:
             raise ValueError("use_pallas needs square power-of-two planes; "
                              "got (%d, %d)" % (dim_y, dim_x))

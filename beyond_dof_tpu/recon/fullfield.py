@@ -185,11 +185,12 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           finite_support_mask=None, mesh=None, seed=None,
                           checkpoint_dir=None, checkpoint_every=0,
                           profile_epochs=(), save_outputs=True,
-                          propagate_last=True, remat=True, cpu_only=False,
+                          propagate_last=True, remat="auto",
+                          invertible_amp_limit=1e4, cpu_only=False,
                           core_parallelization=True, verbose=True,
                           kernel_size=17, tile_mesh=None,
                           shard_object=None, split_complex="auto",
-                          epoch_in_one_call=False, **kwargs):
+                          epoch_in_one_call="auto", **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
     Parameter names and semantics follow the reference engine
@@ -205,6 +206,12 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
     t_zero = time.time()
     rng = np.random.RandomState(seed)
     _log = print_flush if verbose else (lambda *a, **k: None)
+
+    if epoch_in_one_call == "auto":
+        # On TPU backends (especially RPC-tunneled ones) per-minibatch host
+        # dispatch costs O(seconds); run each epoch as one device program.
+        from ..ops.pallas_kernels import _on_tpu
+        epoch_in_one_call = _on_tpu()
 
     if data is None:
         data = read_exchange_data(os.path.join(save_path, fname),
@@ -307,14 +314,39 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                          and not complex_supported())
         else:
             use_split = bool(split_complex)
-        step, epoch_scan = _build_step(
-            tx, probe, energy_ev, psize_cm * ds_level,
-            free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
-            eff_forward, optimize_probe, pupil,
-            shrink_cycle, n_epochs_mask_release,
-            shrink_threshold, propagate_last, remat,
-            kernel_size=kernel_size, tile_mesh=tile_mesh,
-            forward_kwargs=fwd_kwargs, split_complex=use_split)
+        # remat='auto': run the O(1)-activation invertible VJP (fused Pallas
+        # sweeps on TPU) while the predicted backward error amplification
+        # e^{2 k sum_z max beta_z} stays below ``invertible_amp_limit``,
+        # falling back to checkpoint-remat otherwise. The reconstruction
+        # divides by e^{-2 k beta} per slice, so float32 error grows by that
+        # factor over the reverse sweep (checked each epoch on the CURRENT
+        # beta — absorption grows during optimization).
+        auto_remat = (remat == "auto")
+        if auto_remat and use_split and eff_forward == "fresnel":
+            k_mod = 2.0 * PI * voxel_nm[-1] / lmbda_nm
+            amp_log_limit = float(np.log(invertible_amp_limit))
+
+            def pick_remat(params):
+                amp = 2.0 * k_mod * float(
+                    jnp.sum(jnp.max(params["beta"], axis=(0, 1))))
+                return "invertible" if amp < amp_log_limit else True
+        else:
+            def pick_remat(params):
+                return True if auto_remat else remat
+
+        _step_cache = {}
+
+        def get_step(mode):
+            if mode not in _step_cache:
+                _step_cache[mode] = _build_step(
+                    tx, probe, energy_ev, psize_cm * ds_level,
+                    free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
+                    eff_forward, optimize_probe, pupil,
+                    shrink_cycle, n_epochs_mask_release,
+                    shrink_threshold, propagate_last, mode,
+                    kernel_size=kernel_size, tile_mesh=tile_mesh,
+                    forward_kwargs=fwd_kwargs, split_complex=use_split)
+            return _step_cache[mode]
 
         mask_dev = jnp.asarray(mask)
         batch_shard = data_sharding(mesh, 1) if mesh is not None else None
@@ -380,6 +412,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         _log("Optimizer started.")
 
         for epoch in range(start_epoch, n_loop):
+            step, epoch_scan = get_step(pick_remat(params))
             profiling = epoch in set(profile_epochs)
             if profiling:
                 prof_dir = os.path.join(output_folder, "profiling",
