@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fourier_shell_correlation", "fourier_ring_correlation",
-           "radial_bin_index", "snr"]
+           "radial_bin_index", "half_bit_threshold", "snr"]
 
 
 def radial_bin_index(shape, step_size=1):
@@ -52,6 +52,21 @@ def fourier_shell_correlation(obj, ref, step_size=1):
     fsc = _fourier_correlation(f_obj, f_ref, bins, n_bins)
     radii = np.arange(1, radius_max, step_size)
     return radii, fsc[1:radius_max][::1][: len(radii)]
+
+
+def half_bit_threshold(radii, shape, step_size=1):
+    """1/2-bit information FSC threshold curve (van Heel & Schatz 2005).
+
+    T(r) = (0.2071 + 1.9102 / sqrt(n_r)) / (1.2071 + 0.9102 / sqrt(n_r))
+    with ``n_r`` the voxel count of shell r. This is the resolution
+    criterion the reference workflow judges reconstructions by
+    (ref plot_fsc.py:11-14 computes the FSC it is compared against).
+    """
+    bins = radial_bin_index(shape, step_size)
+    counts = np.bincount(bins.ravel(), minlength=int(bins.max()) + 1)
+    n_r = counts[np.asarray(radii, int)].astype(np.float64)
+    n_eff = np.sqrt(np.maximum(n_r, 1.0))
+    return (0.2071 + 1.9102 / n_eff) / (1.2071 + 0.9102 / n_eff)
 
 
 def fourier_ring_correlation(obj, ref, step_size=1):

@@ -145,22 +145,26 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
         return _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch)
 
     @jax.jit
-    def epoch_scan(params, opt_state, mask, theta_batches, prj_mags, epoch):
+    def epoch_scan(params, opt_state, mask, prj_all, theta_all, idx, epoch):
         """All minibatches of one epoch in a single device program.
 
-        ``theta_batches``: (n_batch, G); ``prj_mags``: (n_batch, G, Y, X).
-        Removes per-batch host dispatch (O(seconds) on RPC-tunneled TPUs) —
-        one call per epoch instead of one per minibatch.
+        ``prj_all``/``theta_all`` are the DEVICE-RESIDENT full projection
+        stack and angle vector (uploaded once per level); ``idx`` is the
+        epoch's (n_batch, G) shuffled index table — the only per-epoch
+        upload. Minibatch magnitudes are gathered on device. Removes both
+        the per-batch host dispatch (O(seconds) on RPC-tunneled TPUs) and
+        the per-epoch re-upload of the projection data.
         """
-        def body(carry, inp):
+        def body(carry, idx_row):
             params, opt_state, mask = carry
-            th, mag = inp
+            th = theta_all[idx_row]
+            mag = prj_all[idx_row]
             params, opt_state, mask, loss, err, reg = _step_impl(
                 params, opt_state, mask, th, mag, epoch)
             return (params, opt_state, mask), (loss, err, reg)
 
         (params, opt_state, mask), (losses, errs, regs) = jax.lax.scan(
-            body, (params, opt_state, mask), (theta_batches, prj_mags))
+            body, (params, opt_state, mask), idx)
         return params, opt_state, mask, losses, errs, regs
 
     return step, epoch_scan
@@ -408,6 +412,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         if ds_level == 1 and n_epoch_final_pass is not None:
             n_loop = n_epoch_final_pass
         loss_ls, reg_ls = [], []
+        prj_dev = theta_dev = None
         t0 = time.time()
         _log("Optimizer started.")
 
@@ -427,16 +432,21 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                 order = np.concatenate([order, extra])
             current_loss = current_reg = None
             if epoch_in_one_call:
-                idx = order[: n_batch * tot].reshape(n_batch, tot)
-                theta_batches = jnp.asarray(theta[idx])
-                prj_mags = jnp.asarray(prj_mag_all[idx])
+                if prj_dev is None:
+                    # one-time per-level upload of the full projection stack
+                    # and angles; epochs then ship only the index table
+                    prj_dev = jnp.asarray(prj_mag_all)
+                    theta_dev = jnp.asarray(theta)
+                    if mesh is not None:
+                        rep_s = replicated(mesh)
+                        prj_dev = jax.device_put(prj_dev, rep_s)
+                        theta_dev = jax.device_put(theta_dev, rep_s)
+                idx = jnp.asarray(order[: n_batch * tot].reshape(n_batch, tot),
+                                  jnp.int32)
                 if mesh is not None:
-                    theta_batches = jax.device_put(theta_batches,
-                                                   data_sharding(mesh, 2, 1))
-                    prj_mags = jax.device_put(prj_mags,
-                                              data_sharding(mesh, 4, 1))
+                    idx = jax.device_put(idx, data_sharding(mesh, 2, 1))
                 params, opt_state, mask_dev, losses, errs, regs = epoch_scan(
-                    params, opt_state, mask_dev, theta_batches, prj_mags,
+                    params, opt_state, mask_dev, prj_dev, theta_dev, idx,
                     jnp.int32(epoch))
                 current_loss = float(losses[-1])
                 current_reg = float(regs[-1])
