@@ -56,7 +56,7 @@ def run_benchmark(size=256, n_slices=256, batch=1, n_iters=10, energy_ev=5000,
     use_split = force_split or not complex_supported()
     # The fused radix-DIF Pallas kernel is the fastest validated path for
     # single square volumes at the radix sizes (1.8x the XLA split scan).
-    use_pallas = (use_split and batch == 1 and size in (128, 256)
+    use_pallas = (use_split and batch == 1 and size in (128, 256, 512)
                   and jax.default_backend() != "cpu")
 
     # Device-side repetition: one jit call runs the volume n_iters times in a

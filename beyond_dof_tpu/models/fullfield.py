@@ -93,7 +93,8 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
                                    propagate_last=True, remat=True,
                                    forward_algorithm="fresnel",
                                    kernel_size=17, tile_mesh=None,
-                                   use_pallas=None):
+                                   use_pallas=None, rotation_grad="tf",
+                                   **spherical_kwargs):
     """Split-complex forward model: returns (re, im) wavefield pair.
 
     Complex-dtype-free twin of :func:`rotate_and_project_batch` for TPU
@@ -102,6 +103,27 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
     ``forward_algorithm='conv'`` — the separable truncated-kernel matmul
     propagator, shard_mapped over ``tile_mesh`` (ty, tx) when given).
     """
+    if forward_algorithm == "fresnel":
+        # rotate straight into Z-first order: the fused propagator consumes
+        # (Z, B, Y, X), and transposing a (B, Y, X, Z) rotation result would
+        # be a 4-byte-run relayout copy costing more than the rotation
+        # itself (see ops.rotate.rotate_volume_zfirst)
+        # rotation_grad='tf' backpropagates through the rotation the way the
+        # reference's tf.contrib.image.rotate does (cotangent rotated by
+        # -theta: a gather); 'exact' uses the true scatter-add adjoint
+        from ..ops.rotate import (rotate_volume_zfirst,
+                                  rotate_volume_zfirst_tfgrad)
+        rv = (rotate_volume_zfirst_tfgrad if rotation_grad == "tf"
+              else rotate_volume_zfirst)
+        rot = jax.vmap(lambda th: (rv(obj_delta, th), rv(obj_beta, th)))
+        delta_rot, beta_rot = rot(theta_batch)      # (B, Z, Y, X)
+        delta_z = jnp.swapaxes(delta_rot, 0, 1)     # major-major swap: cheap
+        beta_z = jnp.swapaxes(beta_rot, 0, 1)
+        return multislice_propagate_batch_split(
+            delta_z, beta_z, probe_re, probe_im, energy_ev, psize_cm, h=h,
+            free_prop_cm=free_prop_cm, propagate_last=propagate_last,
+            remat=remat, use_pallas=use_pallas, grids_zfirst=True)
+
     rot = jax.vmap(lambda th: (rotate_volume(obj_delta, th),
                                rotate_volume(obj_beta, th)))
     delta_rot, beta_rot = rot(theta_batch)
@@ -117,13 +139,17 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
             kernel_size=kernel_size, free_prop_cm=free_prop_cm,
             remat=bool(remat))
-    if forward_algorithm != "fresnel":
-        raise ValueError("split forward supports 'fresnel' and 'conv'; got %r"
-                         % (forward_algorithm,))
-    return multislice_propagate_batch_split(
-        delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm, h=h,
-        free_prop_cm=free_prop_cm, propagate_last=propagate_last, remat=remat,
-        use_pallas=use_pallas)
+    if forward_algorithm == "spherical":
+        from ..ops.spherical import multislice_propagate_spherical_split
+        return multislice_propagate_spherical_split(
+            delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
+            dist_to_source_cm=spherical_kwargs["dist_to_source_cm"],
+            det_psize_cm=spherical_kwargs["det_psize_cm"],
+            theta_max=spherical_kwargs.get("theta_max", 0.17453),
+            phi_max=spherical_kwargs.get("phi_max", 0.17453),
+            free_prop_cm=free_prop_cm)
+    raise ValueError("split forward supports 'fresnel', 'conv', and "
+                     "'spherical'; got %r" % (forward_algorithm,))
 
 
 def fullfield_loss(exiting_batch, data_mag_batch):

@@ -85,7 +85,7 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 optimize_probe, pupil_function, shrink_cycle,
                 n_epochs_mask_release, shrink_threshold, propagate_last, remat,
                 kernel_size=17, tile_mesh=None, forward_kwargs=None,
-                split_complex=False):
+                split_complex=False, rotation_grad="tf"):
     """One fused train step (value_and_grad + Adam + projections + shrink-wrap)."""
     forward_kwargs = forward_kwargs or {}
 
@@ -107,7 +107,8 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 psize_cm, free_prop_cm=free_prop_cm, h=h,
                 propagate_last=propagate_last, remat=remat,
                 forward_algorithm=forward_algorithm,
-                kernel_size=kernel_size, tile_mesh=tile_mesh)
+                kernel_size=kernel_size, tile_mesh=tile_mesh,
+                rotation_grad=rotation_grad, **forward_kwargs)
             err = jnp.mean((jnp.sqrt(re * re + im * im) - prj_mag) ** 2)
         else:
             if optimize_probe:
@@ -194,6 +195,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           core_parallelization=True, verbose=True,
                           kernel_size=17, tile_mesh=None,
                           shard_object=None, split_complex="auto",
+                          rotation_grad="tf",
                           epoch_in_one_call="auto", **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
@@ -314,7 +316,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         # complex-free TPU runtimes)
         if split_complex == "auto":
             from ..ops.splitfft import complex_supported
-            use_split = (eff_forward in ("fresnel", "conv")
+            use_split = (eff_forward in ("fresnel", "conv", "spherical")
                          and not complex_supported())
         else:
             use_split = bool(split_complex)
@@ -349,7 +351,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                     shrink_cycle, n_epochs_mask_release,
                     shrink_threshold, propagate_last, mode,
                     kernel_size=kernel_size, tile_mesh=tile_mesh,
-                    forward_kwargs=fwd_kwargs, split_complex=use_split)
+                    forward_kwargs=fwd_kwargs, split_complex=use_split,
+                    rotation_grad=rotation_grad)
             return _step_cache[mode]
 
         mask_dev = jnp.asarray(mask)

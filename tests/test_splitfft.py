@@ -113,7 +113,11 @@ def test_split_engine_matches_complex_engine():
                   save_outputs=False, verbose=False, propagate_last=False,
                   seed=0, random_theta=False)
     d1, b1, i1 = reconstruct_fullfield(split_complex=False, **common)
-    d2, b2, i2 = reconstruct_fullfield(split_complex=True, **common)
+    # rotation_grad='exact' pins the split engine to the complex engine's
+    # true-adjoint rotation gradient for this parity check (the default
+    # 'tf' gradient matches the reference's tf.rotate semantics instead)
+    d2, b2, i2 = reconstruct_fullfield(split_complex=True,
+                                       rotation_grad="exact", **common)
     # the matmul-DFT forward differs from the FFT at the ~1e-6 amplitude
     # level and the loss squares tiny residuals, so compare loosely: same
     # trajectory shape and closely matching objects (values ~8.7e-7)
