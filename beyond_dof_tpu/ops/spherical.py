@@ -22,7 +22,8 @@ from ..constants import PI
 from .fresnel import free_propagate_spherical
 
 __all__ = ["cartesian_to_spherical", "multislice_propagate_spherical",
-           "get_wavefront_on_plane"]
+           "multislice_propagate_spherical_split", "get_wavefront_on_plane",
+           "get_wavefront_on_plane_split"]
 
 
 def _spherical_sample_coords(shape, dist_to_source_nm, psize_nm, theta_max,
@@ -133,6 +134,134 @@ def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
             w, r_nm, probe_size, delta_nm, energy_ev, det_psize_cm * 1e7,
             theta_max, phi_max))(wavefront)
     return wavefront
+
+
+def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
+                                         probe_re, probe_im, energy_ev,
+                                         psize_cm, dist_to_source_cm,
+                                         det_psize_cm, theta_max=PI / 18,
+                                         phi_max=PI / 18, free_prop_cm=None,
+                                         map_to_plane=True):
+    """Split-complex twin of :func:`multislice_propagate_spherical`.
+
+    No complex dtype ever reaches the device (for TPU runtimes without
+    complex64 support): per-slice spherical kernels are built complex on the
+    HOST, pre-permuted into the radix transform's frequency order, and the
+    slice sweep carries (re, im) float32 through the MXU matmul-DFT of
+    ops.splitfft. Returns ``(re, im)`` of shape (B, Y, X).
+    """
+    from .splitfft import (apply_kernel_split_perm, permute_kernel_2d,
+                           cexp_modulation, cmul)
+    from .fresnel import get_kernel_spherical
+
+    grid_delta_batch = jnp.asarray(grid_delta_batch, jnp.float32)
+    grid_beta_batch = jnp.asarray(grid_beta_batch, jnp.float32)
+    batch, dim_y, dim_x, n_slice = grid_delta_batch.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    dist_to_source_nm = dist_to_source_cm * 1e7
+    delta_nm = voxel_nm[-1]
+    lmbda_nm = 1240.0 / energy_ev
+    probe_size = (dim_y, dim_x)
+
+    sph = jax.vmap(lambda v: cartesian_to_spherical(
+        v, dist_to_source_nm, delta_nm, theta_max, phi_max))
+    delta_sph = sph(grid_delta_batch)
+    beta_sph = sph(grid_beta_batch)
+
+    w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                            (batch, dim_y, dim_x))
+    w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                            (batch, dim_y, dim_x))
+
+    kz = np.float32(2 * PI * delta_nm / lmbda_nm)
+    h_stack = np.stack([
+        np.asarray(permute_kernel_2d(np.fft.ifftshift(
+            get_kernel_spherical(delta_nm, lmbda_nm,
+                                 dist_to_source_nm + i * delta_nm,
+                                 theta_max, phi_max, probe_size))))
+        for i in range(n_slice)])
+    hr_z = jnp.asarray(np.real(h_stack).astype(np.float32))
+    hi_z = jnp.asarray(np.imag(h_stack).astype(np.float32))
+    delta_z = jnp.moveaxis(delta_sph, -1, 0)
+    beta_z = jnp.moveaxis(beta_sph, -1, 0)
+
+    def step(carry, inp):
+        re, im = carry
+        d, b, hr, hi = inp
+        cr, ci = cexp_modulation(d, b, kz)
+        re, im = cmul(re, im, cr, ci)
+        re, im = apply_kernel_split_perm(re, im, hr, hi)
+        return (re, im), None
+
+    (w_re, w_im), _ = jax.lax.scan(step, (w_re, w_im),
+                                   (delta_z, beta_z, hr_z, hi_z))
+
+    r_nm = dist_to_source_nm + delta_nm * n_slice
+    if free_prop_cm is not None:
+        w_re, w_im = _free_propagate_spherical_split(
+            w_re, w_im, free_prop_cm, r_nm * 1e-7, lmbda_nm, probe_size,
+            theta_max, phi_max)
+        r_nm += free_prop_cm * 1e7
+
+    if map_to_plane:
+        w_re, w_im = jax.vmap(lambda re, im: get_wavefront_on_plane_split(
+            re, im, r_nm, probe_size, delta_nm, energy_ev,
+            det_psize_cm * 1e7, theta_max, phi_max))(w_re, w_im)
+    return w_re, w_im
+
+
+def _free_propagate_spherical_split(re, im, dist_cm, r_cm, lmbda_nm,
+                                    probe_shape, theta_max, phi_max):
+    """Split twin of fresnel.free_propagate_spherical: the fftshift pair
+    around the centered kernel collapses to one host ifftshift of h."""
+    from .splitfft import apply_kernel_split_perm, permute_kernel_2d
+    from .fresnel import get_kernel_spherical
+    dist_nm = dist_cm * 1.0e7
+    r_nm = r_cm * 1.0e7
+    h = get_kernel_spherical(dist_nm, lmbda_nm, r_nm, theta_max, phi_max,
+                             probe_shape)
+    h_p = permute_kernel_2d(np.fft.ifftshift(np.asarray(h)))
+    return apply_kernel_split_perm(
+        re, im, jnp.asarray(np.real(h_p).astype(np.float32)),
+        jnp.asarray(np.imag(h_p).astype(np.float32)))
+
+
+def get_wavefront_on_plane_split(w_re, w_im, r_nm, detector_size, delta_r_nm,
+                                 energy_ev, det_psize_nm, theta_max=PI / 18,
+                                 phi_max=PI / 18):
+    """Split twin of :func:`get_wavefront_on_plane` (no complex dtypes)."""
+    lmbda_nm = 1240.0 / energy_ev
+    h, w = detector_size
+    x_true = (np.arange(w) - np.median(np.arange(w))) * det_psize_nm
+    y_true = (np.arange(h) - np.median(np.arange(h))) * det_psize_nm
+    x_mesh, y_mesh = np.meshgrid(x_true, y_true)
+    r_mesh = np.sqrt(x_mesh ** 2 + y_mesh ** 2 + r_nm ** 2)
+    theta_mesh = -np.arccos(y_mesh / r_mesh) + PI / 2
+    phi_mesh = np.arctan(x_mesh / r_nm)
+
+    n_extra = int(np.ceil((r_mesh.max() - r_nm) / delta_r_nm))
+    shells_re, shells_im = [w_re], [w_im]
+    r_current = r_nm
+    for _ in range(n_extra):
+        r_current += delta_r_nm
+        w_re, w_im = _free_propagate_spherical_split(
+            w_re, w_im, delta_r_nm * 1e-7, r_current * 1e-7, lmbda_nm,
+            detector_size, theta_max, phi_max)
+        shells_re.append(w_re)
+        shells_im.append(w_im)
+    stack_re = jnp.stack(shells_re, axis=-1)
+    stack_im = jnp.stack(shells_im, axis=-1)
+
+    delta_theta = 2 * theta_max / (h - 1)
+    delta_phi = 2 * phi_max / (w - 1)
+    ri = (r_mesh - r_nm) / delta_r_nm
+    ti = theta_mesh / delta_theta + (h - 1) / 2.0
+    pi_ = phi_mesh / delta_phi + (w - 1) / 2.0
+    coords = [jnp.asarray(ti.astype(np.float32)),
+              jnp.asarray(pi_.astype(np.float32)),
+              jnp.asarray(ri.astype(np.float32))]
+    return (map_coordinates(stack_re, coords, order=1, mode="nearest"),
+            map_coordinates(stack_im, coords, order=1, mode="nearest"))
 
 
 def get_wavefront_on_plane(wavefront_sph, r_nm, detector_size, delta_r_nm,

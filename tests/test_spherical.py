@@ -59,3 +59,49 @@ def test_wavefront_on_plane_shapes():
                                             1.0, 5000, 2.0))
     assert out.shape == (16, 16)
     assert np.isfinite(out).all()
+
+
+def test_spherical_split_matches_complex():
+    """Split-complex cone-beam propagator == complex one (1e-5), incl. the
+    detector-plane mapping — enables cone_pp on complex-free TPU runtimes."""
+    import jax.numpy as jnp
+    from beyond_dof_tpu.models.phantom import adhesin_phantom
+    from beyond_dof_tpu.ops.spherical import (
+        multislice_propagate_spherical, multislice_propagate_spherical_split)
+    from beyond_dof_tpu.constants import PI
+
+    gd, gb = adhesin_phantom(16)
+    kw = dict(energy_ev=800, psize_cm=0.67e-7, dist_to_source_cm=1e-4,
+              det_psize_cm=2e-7, theta_max=PI / 15, phi_max=PI / 15,
+              free_prop_cm=1e-4, map_to_plane=True)
+    ref = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((16, 16), np.complex64), **kw))
+    re, im = multislice_propagate_spherical_split(
+        gd[None], gb[None], np.ones((16, 16), np.float32),
+        np.zeros((16, 16), np.float32), **kw)
+    out = np.asarray(re) + 1j * np.asarray(im)
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_engine_point_probe_split(tmp_path):
+    """cone_pp-class engine run in split-complex mode (probe_type='point'
+    routes through the split spherical propagator)."""
+    from beyond_dof_tpu.models.phantom import adhesin_phantom
+    from beyond_dof_tpu.ops.spherical import multislice_propagate_spherical
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+    from beyond_dof_tpu.constants import PI
+
+    gd, gb = adhesin_phantom(16)
+    data = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((16, 16), np.complex64), 800, 0.67e-7,
+        dist_to_source_cm=1e-4, det_psize_cm=2e-7, theta_max=PI / 15,
+        phi_max=PI / 15, map_to_plane=False))
+    data = np.tile(data, (4, 1, 1))
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=2 * np.pi, n_epochs=1, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, energy_ev=800, psize_cm=0.67e-7,
+        minibatch_size=2, shrink_cycle=None, save_outputs=False, verbose=False,
+        seed=0, probe_type="point", split_complex=True,
+        dist_to_source_cm=1e-4, det_psize_cm=2e-7,
+        theta_max=PI / 15, phi_max=PI / 15)
+    assert np.isfinite(info["loss"]).all()
