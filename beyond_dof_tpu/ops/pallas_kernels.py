@@ -236,13 +236,22 @@ def _make_fwd_kernel(n_slice, k):
     def kernel(delta_ref, beta_ref, probe_re_ref, probe_im_ref,
                hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
                iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
-               out_re_ref, out_im_ref, fre, fim):
+               out_re_ref, out_im_ref, fre, fim, sem):
         zi = pl.program_id(1)
+        bi = pl.program_id(0)
 
+        # probe/out live in HBM (pl.ANY) and are DMA'd only at the first/
+        # last slice of each batch item: they would otherwise hold 4 VMEM
+        # plane-blocks for the whole sweep (16 MB at 1024^2), starving the
+        # double-buffering of the (delta, beta) slice stream.
         @pl.when(zi == 0)
         def _():
-            fre[:] = probe_re_ref[0]
-            fim[:] = probe_im_ref[0]
+            cp1 = pltpu.make_async_copy(probe_re_ref.at[bi], fre, sem)
+            cp1.start()
+            cp1.wait()
+            cp2 = pltpu.make_async_copy(probe_im_ref.at[bi], fim, sem)
+            cp2.start()
+            cp2.wait()
 
         # refractive modulation: f *= exp(i k delta - k beta)
         d = delta_ref[0, 0]
@@ -261,8 +270,12 @@ def _make_fwd_kernel(n_slice, k):
 
         @pl.when(zi == n_slice - 1)
         def _():
-            out_re_ref[0] = fre[:]
-            out_im_ref[0] = fim[:]
+            cp1 = pltpu.make_async_copy(fre, out_re_ref.at[bi], sem)
+            cp1.start()
+            cp1.wait()
+            cp2 = pltpu.make_async_copy(fim, out_im_ref.at[bi], sem)
+            cp2.start()
+            cp2.wait()
 
     return kernel
 
@@ -277,8 +290,7 @@ def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
     slice_spec = pl.BlockSpec((1, 1, dim_y, dim_x),
                               lambda b, z: (z, b, 0, 0),
                               memory_space=pltpu.VMEM)
-    plane_b = pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
-                           memory_space=pltpu.VMEM)
+    plane_any = pl.BlockSpec(memory_space=pl.ANY)
     full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
                           memory_space=pltpu.VMEM)
     base = consts[0].shape[0]
@@ -290,13 +302,14 @@ def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
     out_re, out_im = pl.pallas_call(
         _make_fwd_kernel(n_slice, k),
         grid=(batch, n_slice),
-        in_specs=[slice_spec, slice_spec, plane_b, plane_b, full2d, full2d,
-                  mat, mat, mat, mat, mat, mat, tw, tw],
-        out_specs=(plane_b, plane_b),
+        in_specs=[slice_spec, slice_spec, plane_any, plane_any, full2d,
+                  full2d, mat, mat, mat, mat, mat, mat, tw, tw],
+        out_specs=(plane_any, plane_any),
         out_shape=(jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32),
                    jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32),
-                        pltpu.VMEM((dim_y, dim_x), jnp.float32)],
+                        pltpu.VMEM((dim_y, dim_x), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         compiler_params=_compiler_params(dim_y, dim_x),
         interpret=interpret,
     )(delta_z, beta_z, w_re, w_im, hr_p, hi_p,
@@ -314,15 +327,17 @@ def _make_bwd_kernel(n_slice, k):
                hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
                iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
                gd_ref, gb_ref, g0_re_ref, g0_im_ref,
-               wre, wim, gre, gim):
+               wre, wim, gre, gim, sem):
         zi = pl.program_id(1)
+        bi = pl.program_id(0)
 
         @pl.when(zi == 0)
         def _():
-            wre[:] = w_re_ref[0]
-            wim[:] = w_im_ref[0]
-            gre[:] = g_re_ref[0]
-            gim[:] = g_im_ref[0]
+            for src, dst in ((w_re_ref, wre), (w_im_ref, wim),
+                             (g_re_ref, gre), (g_im_ref, gim)):
+                cp = pltpu.make_async_copy(src.at[bi], dst, sem)
+                cp.start()
+                cp.wait()
 
         d = delta_ref[0, 0]
         b = beta_ref[0, 0]
@@ -358,8 +373,12 @@ def _make_bwd_kernel(n_slice, k):
 
         @pl.when(zi == n_slice - 1)
         def _():
-            g0_re_ref[0] = gre[:]
-            g0_im_ref[0] = gim[:]
+            cp1 = pltpu.make_async_copy(gre, g0_re_ref.at[bi], sem)
+            cp1.start()
+            cp1.wait()
+            cp2 = pltpu.make_async_copy(gim, g0_im_ref.at[bi], sem)
+            cp2.start()
+            cp2.wait()
 
     return kernel
 
@@ -374,8 +393,7 @@ def _pallas_sweep_bwd(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
     rev_slice = pl.BlockSpec((1, 1, dim_y, dim_x),
                              lambda b, z: (n_slice - 1 - z, b, 0, 0),
                              memory_space=pltpu.VMEM)
-    plane_b = pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
-                           memory_space=pltpu.VMEM)
+    plane_any = pl.BlockSpec(memory_space=pl.ANY)
     full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
                           memory_space=pltpu.VMEM)
     base = consts[0].shape[0]
@@ -387,16 +405,17 @@ def _pallas_sweep_bwd(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
     gd, gb, g0_re, g0_im = pl.pallas_call(
         _make_bwd_kernel(n_slice, k),
         grid=(batch, n_slice),
-        in_specs=[rev_slice, rev_slice, plane_b, plane_b, plane_b, plane_b,
-                  full2d, full2d, mat, mat, mat, mat, mat, mat, tw, tw],
-        out_specs=(rev_slice, rev_slice, plane_b, plane_b),
+        in_specs=[rev_slice, rev_slice, plane_any, plane_any, plane_any,
+                  plane_any, full2d, full2d, mat, mat, mat, mat, mat, mat,
+                  tw, tw],
+        out_specs=(rev_slice, rev_slice, plane_any, plane_any),
         out_shape=(
             jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
             jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
             jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32),
             jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32)
-                        for _ in range(4)],
+                        for _ in range(4)] + [pltpu.SemaphoreType.DMA(())],
         compiler_params=_compiler_params(dim_y, dim_x),
         interpret=interpret,
     )(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
@@ -573,3 +592,155 @@ def multislice_pallas_split(grid_delta, grid_beta, probe_re, probe_im,
     hi = jnp.asarray(np.imag(h_if).astype(np.float32))
     return _run_dense(delta_zyx, beta_zyx, probe_re, probe_im, hr, hi,
                       float(energy_ev), float(psize_cm), bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Blocked two-pass variant for planes whose working set exceeds VMEM
+# (1024^2+). Per slice the plane makes TWO panel-streamed passes:
+#   X-pass (row panels):    IDIT_x(state) -> modulate(z) -> DIF_x
+#   Y-pass (column panels): DIF_y -> x H(permuted) -> IDIT_y
+# which composes to exactly the fused kernel's per-slice step. HBM traffic
+# is ~4 plane reads+writes per slice versus the XLA scan's ~9, and every
+# panel fits VMEM with room for double buffering.
+# ---------------------------------------------------------------------------
+
+def _make_xpass_kernel(k, mode):
+    """mode: 'first' (modulate+DIFx only), 'mid' (IDITx+modulate+DIFx),
+    'last' (IDITx only)."""
+    def kernel(s_re_ref, s_im_ref, d_ref, b_ref,
+               wr_ref, wi_ref, ws_ref, iwr_ref, iwi_ref, iws_ref,
+               twr_ref, twi_ref, out_re_ref, out_im_ref):
+        re = s_re_ref[:]
+        im = s_im_ref[:]
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        if mode != "first":
+            re, im = _idit_last(re, im, iwr_ref[:], iwi_ref[:], iws_ref[:],
+                                twr, twi)
+        if mode != "last":
+            d = d_ref[:]
+            b = b_ref[:]
+            amp = jnp.exp(-k * b)
+            cr = amp * jnp.cos(k * d)
+            ci = amp * jnp.sin(k * d)
+            re, im = re * cr - im * ci, re * ci + im * cr
+            re, im = _dif_last(re, im, wr_ref[:], wi_ref[:], ws_ref[:],
+                               twr, twi)
+        out_re_ref[:] = re
+        out_im_ref[:] = im
+
+    return kernel
+
+
+def _make_ypass_kernel():
+    def kernel(s_re_ref, s_im_ref, hr_ref, hi_ref,
+               wr_ref, wi_ref, ws_ref, iwr_ref, iwi_ref, iws_ref,
+               twr_ref, twi_ref, out_re_ref, out_im_ref):
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        re, im = _dif_first(s_re_ref[:], s_im_ref[:], wr_ref[:], wi_ref[:],
+                            ws_ref[:], twr, twi)
+        hr = hr_ref[:]
+        hi = hi_ref[:]
+        re, im = (re * hr - im * hi, re * hi + im * hr)
+        re, im = _idit_first(re, im, iwr_ref[:], iwi_ref[:], iws_ref[:],
+                             twr, twi)
+        out_re_ref[:] = re
+        out_im_ref[:] = im
+
+    return kernel
+
+
+def _blocked_calls(dim_y, dim_x, k, consts, interpret, py, qx):
+    base = consts[0].shape[0]
+    twr = consts[6]
+    mat = pl.BlockSpec((base, base), lambda p: (0, 0),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twr.shape, lambda p: (0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((py, dim_x), lambda p: (p, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((dim_y, qx), lambda p: (0, p),
+                       memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((dim_y, dim_x), jnp.float32)
+    cmats = tuple(jnp.asarray(c) for c in consts)
+
+    def xpass(mode):
+        kern = _make_xpass_kernel(k, mode)
+
+        def call(s_re, s_im, d, b):
+            return pl.pallas_call(
+                kern, grid=(dim_y // py,),
+                in_specs=[row, row, row, row] + [mat] * 6 + [tw, tw],
+                out_specs=(row, row),
+                out_shape=(plane, plane),
+                compiler_params=_compiler_params(py, dim_x),
+                interpret=interpret,
+            )(s_re, s_im, d, b, *cmats)
+        return call
+
+    ykern = _make_ypass_kernel()
+
+    def ypass(s_re, s_im, hr, hi):
+        return pl.pallas_call(
+            ykern, grid=(dim_x // qx,),
+            in_specs=[col, col, col, col] + [mat] * 6 + [tw, tw],
+            out_specs=(col, col),
+            out_shape=(plane, plane),
+            compiler_params=_compiler_params(dim_y, qx),
+            interpret=interpret,
+        )(s_re, s_im, hr, hi, *cmats)
+
+    return xpass("first"), xpass("mid"), xpass("last"), ypass
+
+
+def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
+                                    energy_ev, psize_cm, h=None,
+                                    interpret=None, py=128, qx=128,
+                                    base=None):
+    """Blocked two-pass fused multislice for big square planes (one volume).
+
+    Semantics identical to :func:`multislice_pallas_split` (modulate +
+    propagate after EVERY slice). (Y, X, Z) volume in, split (Y, X) exit
+    wave out. Forward-only (training at these plane sizes runs the XLA
+    invertible path).
+    """
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    dim_y, dim_x, n_slice = grid_delta.shape
+    assert pallas_shape_ok(dim_y, dim_x, base) and dim_y % py == 0 \
+        and dim_x % qx == 0
+    if interpret is None:
+        interpret = not _on_tpu()
+    voxel_nm = np.array([psize_cm] * 3) * 1e7
+    lmbda_nm = 1240.0 / energy_ev
+    k = np.float32(2.0 * PI * voxel_nm[-1] / lmbda_nm)
+    if h is None:
+        h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
+    h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
+    hr = jnp.asarray(np.real(h_p).astype(np.float32))
+    hi = jnp.asarray(np.imag(h_p).astype(np.float32))
+    consts = _radix_consts(dim_y, base)
+    xfirst, xmid, xlast, ypass = _blocked_calls(dim_y, dim_x, k, consts,
+                                                bool(interpret), py, qx)
+
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+    w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                            (dim_y, dim_x))
+    w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                            (dim_y, dim_x))
+
+    s_re, s_im = xfirst(w_re, w_im, delta_z[0], beta_z[0])
+
+    def step(carry, slices):
+        s_re, s_im = carry
+        d, b = slices
+        s_re, s_im = ypass(s_re, s_im, hr, hi)
+        s_re, s_im = xmid(s_re, s_im, d, b)
+        return (s_re, s_im), None
+
+    (s_re, s_im), _ = jax.lax.scan(step, (s_re, s_im),
+                                   (delta_z[1:], beta_z[1:]))
+    s_re, s_im = ypass(s_re, s_im, hr, hi)
+    zeros = jnp.zeros((dim_y, dim_x), jnp.float32)
+    return xlast(s_re, s_im, zeros, zeros)

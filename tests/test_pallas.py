@@ -113,3 +113,21 @@ def test_pallas_shape_ok():
     assert not pallas_shape_ok(128, 256)
     assert not pallas_shape_ok(384, 384)  # 3 * 128: not a power-of-two mult
     assert pallas_shape_ok(32, 32, base=8)
+
+
+def test_blocked_two_pass_matches_fused():
+    """The blocked X-pass/Y-pass pipeline == the fully-fused kernel (and
+    the complex scan), exercised with multi-level radix panels."""
+    from beyond_dof_tpu.ops.pallas_kernels import (
+        multislice_pallas_split, multislice_pallas_split_blocked)
+    rng = np.random.RandomState(0)
+    n, nz = 32, 5
+    gd = (rng.rand(n, n, nz) * 1e-6).astype(np.float32)
+    gb = (rng.rand(n, n, nz) * 1e-7).astype(np.float32)
+    pr = np.ones((n, n), np.float32)
+    pi_ = np.zeros((n, n), np.float32)
+    re1, im1 = multislice_pallas_split(gd, gb, pr, pi_, 5000, 1e-7)
+    re2, im2 = multislice_pallas_split_blocked(gd, gb, pr, pi_, 5000, 1e-7,
+                                               py=16, qx=16, base=8)
+    assert np.abs(np.asarray(re1) - np.asarray(re2)).max() < 1e-5
+    assert np.abs(np.asarray(im1) - np.asarray(im2)).max() < 1e-5
