@@ -26,6 +26,8 @@ __all__ = [
     "rotate_volume",
     "rotate_volume_zfirst",
     "rotate_volume_zfirst_tfgrad",
+    "rotate_volume_shear3",
+    "rotate_pair_zfirst_shear3",
     "rotate_stack",
     "rotation_lookup",
     "apply_rotation_lookup",
@@ -220,6 +222,115 @@ def _rvzt_bwd(order, cval, theta, g):
 
 
 rotate_volume_zfirst_tfgrad.defvjp(_rvzt_fwd, _rvzt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3-shear rotation: every shear is a banded MATMUL, no gathers.
+#
+# On TPU the bilinear rotation above is gather-bound: XLA lowers the 4-corner
+# flat gather to ~60 GB/s effective (measured on v5e at 256^3, ~3.6 ms per
+# volume — slower than the entire fused multislice fwd+bwd it feeds). The
+# classic 3-shear decomposition (Paeth 1986 / Unser 1995)
+#     R(theta) = ShearX(-tan t/2) . ShearZ(sin t) . ShearX(-tan t/2)
+# turns the rotation into three 1-D resamplings, and a 1-D linear resampling
+# along one axis with per-row offsets is a 2-banded matrix — so each shear is
+# one einsum against an on-the-fly banded matrix: pure MXU + elementwise,
+# runs at HBM bandwidth (measured 1.6 ms per 256^3 volume, and the ADJOINT
+# is just the transposed einsum — no scatter in the backward).
+#
+# Angles outside [-45 deg, 45 deg] are reduced by an exact quadrant
+# pre-rotation (flips / transpose, lax.switch on round(theta / 90deg)).
+#
+# Semantics: same geometry as :func:`rotate_volume` (backward map, rotation
+# about pixel center (N-1)/2, zero fill), but the interpolation is
+# per-shear-linear rather than direct-bilinear: results differ by
+# O(interpolation error); content within radius N/2*cos(22.5deg) of the
+# rotation center never touches the array edge mid-shear (tomographic
+# objects live inside the finite-support cylinder, so this is lossless for
+# the reference workloads). Keep :func:`rotate_volume` for reference parity;
+# use this as the fast path on TPU backends.
+# ---------------------------------------------------------------------------
+
+_SHEAR_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _shear_mats(shift, n):
+    """(K, n, n) banded linear-interpolation matrices, zero fill.
+
+    Row (k, o) has weight (1-f) at floor(o + shift[k]) and f at floor+1;
+    out-of-range sources get no weight (exact zero fill, matching the
+    bilinear path's constant-fill edge handling).
+    """
+    o = jnp.arange(n, dtype=jnp.float32)
+    s = o[None, :] + shift[:, None]            # (K, O) absolute src coords
+    kk = jnp.floor(s)
+    f = s - kk
+    x = jnp.arange(n, dtype=jnp.float32)
+    m0 = (x[None, None, :] == kk[:, :, None]).astype(jnp.float32)
+    m1 = (x[None, None, :] == kk[:, :, None] + 1.0).astype(jnp.float32)
+    return (1.0 - f)[:, :, None] * m0 + f[:, :, None] * m1
+
+
+def _shear3_core(vol, r, zfirst):
+    """Rotate (Y, X, Z) by r in [-pi/4, pi/4] via 3 banded-matmul shears."""
+    dim_y, dim_x, dim_z = vol.shape
+    a = -jnp.tan(r / 2.0)
+    b = jnp.sin(r)
+    zc = jnp.arange(dim_z, dtype=jnp.float32) - (dim_z - 1) / 2.0
+    xc = jnp.arange(dim_x, dtype=jnp.float32) - (dim_x - 1) / 2.0
+    sx = _shear_mats(a * zc, dim_x)            # (Z, O, X)
+    sz = _shear_mats(b * xc, dim_z)            # (X, O, Z)
+    # ShearX: out[y,o,z] = sum_x S[z,o,x] vol[y,x,z]
+    v = jnp.einsum("yxz,zox->yoz", vol, sx, precision=_SHEAR_PRECISION)
+    # ShearZ: out[y,x,o] = sum_z T[x,o,z] v[y,x,z]
+    v = jnp.einsum("yxz,xoz->yxo", v, sz, precision=_SHEAR_PRECISION)
+    if zfirst:
+        return jnp.einsum("yxz,zox->zyo", v, sx, precision=_SHEAR_PRECISION)
+    return jnp.einsum("yxz,zox->yoz", v, sx, precision=_SHEAR_PRECISION)
+
+
+def _quadrant_views(vol):
+    """The four exact 90-degree pre-rotations of the (X, Z) plane.
+
+    view_q[y, x, z] = vol at R(q*90deg) . (x, z) (centered backward map):
+    q=1 -> transpose + flip Z-source, q=2 -> flip both, q=3 -> the other
+    transpose. All are relayout/flip ops, no arithmetic.
+    """
+    return (lambda: vol,
+            lambda: jnp.flip(jnp.swapaxes(vol, 1, 2), 2),
+            lambda: jnp.flip(jnp.flip(vol, 1), 2),
+            lambda: jnp.flip(jnp.swapaxes(vol, 1, 2), 1))
+
+
+def rotate_volume_shear3(vol, theta, zfirst=False):
+    """Rotate a (Y, X, Z) volume by ``theta`` (radians, any value) in the
+    (X, Z) plane using three banded-matmul shears (fast path on TPU).
+
+    ``zfirst=True`` emits (Z, Y, X) directly (the layout the fused
+    multislice propagators consume). Differentiable in ``vol`` (adjoint
+    einsums) and in ``theta`` (the fractional interpolation weights are
+    smooth in theta almost everywhere).
+    """
+    theta = jnp.asarray(theta, jnp.float32)
+    q = jnp.round(theta / (np.pi / 2.0))
+    r = theta - q * (np.pi / 2.0)
+    qi = jnp.asarray(jnp.mod(q, 4.0), jnp.int32)
+    views = _quadrant_views(vol)
+    pre = jax.lax.switch(qi, views)
+    return _shear3_core(pre, r, zfirst)
+
+
+def rotate_pair_zfirst_shear3(obj_delta, obj_beta, theta):
+    """Rotate delta AND beta by one angle, emitting (Z, Y, X) each.
+
+    The two volumes are stacked along Y so the shear matrices are built once
+    and every einsum runs with doubled M (better MXU utilization; the banded
+    matrices are read from HBM once per shear instead of twice).
+    """
+    both = jnp.concatenate([obj_delta, obj_beta], axis=0)
+    out = rotate_volume_shear3(both, theta, zfirst=True)   # (Z, 2Y, X)
+    dim_y = obj_delta.shape[0]
+    return out[:, :dim_y], out[:, dim_y:]
 
 
 def rotate_stack(vols, theta, order=1, cval=0.0):

@@ -127,3 +127,109 @@ def test_rotate_tfgrad_close_to_exact_adjoint():
                                         jnp.float32(th)))(v))
         scale = np.abs(g_ex).max() + 1e-30
         assert np.abs(g_tf - g_ex).max() / scale < tol
+
+
+# ---------------------------------------------------------------------------
+# 3-shear banded-matmul rotation (the TPU fast path)
+# ---------------------------------------------------------------------------
+
+def test_shear3_zero_is_identity():
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+    v = _vol(16)
+    out = np.asarray(rotate_volume_shear3(jnp.asarray(v), 0.0))
+    assert np.abs(out - v).max() < 1e-6
+
+
+def test_shear3_quadrants_exact():
+    """At multiples of 90 degrees the shear path reduces to pure
+    flips/transposes and must match the bilinear rotation exactly."""
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+    v = jnp.asarray(_vol(17))
+    for th in (np.pi / 2, np.pi, 3 * np.pi / 2, 2 * np.pi, -np.pi / 2):
+        a = np.asarray(rotate_volume_shear3(v, th))
+        b = np.asarray(rotate_volume(v, th))
+        assert np.abs(a - b).max() < 1e-5, th
+
+
+def test_shear3_close_to_bilinear_generic_angles():
+    """Generic angles: per-shear-linear vs direct-bilinear interpolation
+    agree on smooth content away from the fill boundary."""
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+    v = _smooth_vol(32)
+    vj = jnp.asarray(v)
+    c = slice(8, 24)
+    for th in (0.3, 0.7, 2.1, -0.6, 4.0, 5.9):
+        a = np.asarray(rotate_volume_shear3(vj, th))[:, c, c]
+        b = np.asarray(rotate_volume(vj, th))[:, c, c]
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 0.03, th
+
+
+def test_shear3_zfirst_matches_plain():
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+    v = jnp.asarray(_vol(12))
+    a = np.asarray(rotate_volume_shear3(v, 0.37, zfirst=True))
+    b = np.moveaxis(np.asarray(rotate_volume_shear3(v, 0.37)), -1, 0)
+    assert np.abs(a - b).max() < 1e-6
+
+
+def test_shear3_pair_matches_singles():
+    from beyond_dof_tpu.ops.rotate import (rotate_pair_zfirst_shear3,
+                                           rotate_volume_shear3)
+    d = jnp.asarray(_vol(12))
+    b = jnp.asarray(_vol(12) * 0.5 + 0.1)
+    dr, br = rotate_pair_zfirst_shear3(d, b, 0.9)
+    assert np.abs(np.asarray(dr)
+                  - np.asarray(rotate_volume_shear3(d, 0.9, zfirst=True))).max() < 1e-6
+    assert np.abs(np.asarray(br)
+                  - np.asarray(rotate_volume_shear3(b, 0.9, zfirst=True))).max() < 1e-6
+
+
+def test_shear3_adjoint_property():
+    """<R v, w> == <v, grad_v <R v, w>> : the VJP is the exact adjoint."""
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.rand(10, 12, 12).astype(np.float32))
+    w = jnp.asarray(rng.rand(10, 12, 12).astype(np.float32))
+    th = 0.53
+    fwd = jnp.sum(rotate_volume_shear3(v, th) * w)
+    g = jax.grad(lambda x: jnp.sum(rotate_volume_shear3(x, th) * w))(v)
+    assert abs(float(fwd) - float(jnp.sum(v * g))) < 1e-3
+
+
+def test_shear3_under_jit_and_lax_map():
+    """The quadrant lax.switch must work inside jit + lax.map over a traced
+    angle batch (the engine's usage)."""
+    from beyond_dof_tpu.ops.rotate import rotate_pair_zfirst_shear3
+    d = jnp.asarray(_smooth_vol(16))
+    b = d * 0.3
+    thetas = jnp.asarray([0.2, 1.7, 3.3, 5.1], jnp.float32)
+
+    @jax.jit
+    def run(dd, bb, ths):
+        return jax.lax.map(lambda t: rotate_pair_zfirst_shear3(dd, bb, t), ths)
+
+    dr, br = run(d, b, thetas)
+    assert dr.shape == (4, 16, 16, 16)
+    for i, th in enumerate(np.asarray(thetas)):
+        ref = np.asarray(rotate_pair_zfirst_shear3(d, b, float(th))[0])
+        assert np.abs(np.asarray(dr)[i] - ref).max() < 1e-5
+
+
+def test_split_forward_model_shear_rotation_close():
+    """rotate_and_project_batch_split(rotation='shear') stays close to the
+    bilinear forward on a smooth object."""
+    from beyond_dof_tpu.models.fullfield import rotate_and_project_batch_split
+    n = 16
+    v = _smooth_vol(n) * 1e-7
+    d = jnp.asarray(v)
+    b = jnp.asarray(v * 0.1)
+    th = jnp.asarray([0.0, 0.8, 2.5], jnp.float32)
+    pr = jnp.ones((n, n), jnp.float32)
+    pi = jnp.zeros((n, n), jnp.float32)
+    re1, im1 = rotate_and_project_batch_split(
+        d, b, th, pr, pi, 5000.0, 1e-7, rotation="shear")
+    re2, im2 = rotate_and_project_batch_split(
+        d, b, th, pr, pi, 5000.0, 1e-7, rotation="bilinear")
+    assert np.abs(np.asarray(re1) - np.asarray(re2)).max() < 1e-4
+    assert np.abs(np.asarray(im1) - np.asarray(im2)).max() < 1e-4
