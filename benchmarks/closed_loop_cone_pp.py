@@ -39,23 +39,33 @@ def run(n_epochs=3, n_theta=500, size=256,
 
     # ---- model-matched simulation through the split spherical forward ----
     import jax
+    from beyond_dof_tpu.ops.spherical import build_spherical_plan
     t0 = time.time()
     theta_ls = -np.linspace(0, 2 * np.pi, n_theta).astype(np.float32)
     ones = jnp.ones((size, size), jnp.float32)
     zeros = jnp.zeros((size, size), jnp.float32)
     batch = 5
+    # plan travels as a jit ARGUMENT: its resample coords + kernel stacks
+    # are ~370 MB at 256^3 and would blow the remote-compile body cap as
+    # baked constants
+    plan = build_spherical_plan((size, size, size), 5000, 1e-7,
+                                sph["dist_to_source_cm"],
+                                det_psize_cm=sph["det_psize_cm"],
+                                theta_max=sph["theta_max"],
+                                phi_max=sph["phi_max"], free_prop_cm=1e-4)
+    print("plan built t=%.1fs" % (time.time() - t0), flush=True)
 
     @jax.jit
-    def fwd(d, b, th):
+    def fwd(d, b, th, plan):
         return rotate_and_project_batch_split(
             d, b, th, ones, zeros, 5000, 1e-7, free_prop_cm=1e-4,
-            forward_algorithm="spherical", **sph)
+            forward_algorithm="spherical", plan=plan, **sph)
 
     gd_d, gb_d = jnp.asarray(gd), jnp.asarray(gb)
     data = np.empty((n_theta, size, size), np.complex64)
     for i0 in range(0, n_theta, batch):
         th = jnp.asarray(theta_ls[i0:i0 + batch])
-        re, im = fwd(gd_d, gb_d, th)
+        re, im = fwd(gd_d, gb_d, th, plan)
         data[i0:i0 + th.shape[0]] = np.asarray(re) + 1j * np.asarray(im)
         if i0 % 100 == 0:
             print("sim %d/%d t=%.1fs" % (i0 + batch, n_theta,

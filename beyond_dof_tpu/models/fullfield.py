@@ -167,7 +167,8 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             det_psize_cm=spherical_kwargs["det_psize_cm"],
             theta_max=spherical_kwargs.get("theta_max", 0.17453),
             phi_max=spherical_kwargs.get("phi_max", 0.17453),
-            free_prop_cm=free_prop_cm)
+            free_prop_cm=free_prop_cm,
+            plan=spherical_kwargs.get("plan"))
     raise ValueError("split forward supports 'fresnel', 'conv', and "
                      "'spherical'; got %r" % (forward_algorithm,))
 

@@ -85,7 +85,11 @@ def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0
     if n_bubbles is None:
         n_bubbles = max(4, (n // 8) ** 2)
     voids = np.zeros_like(body)
-    yy, xx, zz = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    # rasterize each bubble only inside its bounding box: identical output
+    # to a full-grid test, but O(r^3) per bubble instead of O(n^3) (at
+    # n=256 the workload draws (n//8)^2 = 1024 bubbles — full-grid
+    # rasterization is minutes of host time, the bboxes are milliseconds)
+    ax = np.arange(n, dtype=np.float64)
     for _ in range(n_bubbles):
         r = rng.uniform(0.02, 0.08) * n
         cy = rng.uniform(margin + r, n - margin - r)
@@ -95,7 +99,13 @@ def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0
         ang = rng.uniform(0, 2 * np.pi)
         cx = (n - 1) / 2.0 + rho * np.cos(ang)
         cz = (n - 1) / 2.0 + rho * np.sin(ang)
-        voids += ((yy - cy) ** 2 + (xx - cx) ** 2 + (zz - cz) ** 2 <= r ** 2)
+        y0, y1 = max(0, int(cy - r)), min(n, int(cy + r) + 2)
+        x0, x1 = max(0, int(cx - r)), min(n, int(cx + r) + 2)
+        z0, z1 = max(0, int(cz - r)), min(n, int(cz + r) + 2)
+        bub = ((ax[y0:y1, None, None] - cy) ** 2
+               + (ax[None, x0:x1, None] - cx) ** 2
+               + (ax[None, None, z0:z1] - cz) ** 2 <= r ** 2)
+        voids[y0:y1, x0:x1, z0:z1] += bub
     body = body * (voids == 0)
     if smooth:
         body = gaussian_filter(body.astype(np.float64), smooth)

@@ -23,7 +23,7 @@ from .fresnel import free_propagate_spherical
 
 __all__ = ["cartesian_to_spherical", "multislice_propagate_spherical",
            "multislice_propagate_spherical_split", "get_wavefront_on_plane",
-           "get_wavefront_on_plane_split"]
+           "get_wavefront_on_plane_split", "build_spherical_plan"]
 
 
 def _spherical_sample_coords(shape, dist_to_source_nm, psize_nm, theta_max,
@@ -65,6 +65,96 @@ def cartesian_to_spherical(arr, dist_to_source_nm, psize_nm,
                                       theta_max, phi_max)
     return map_coordinates(jnp.asarray(arr), list(jnp.asarray(coords)),
                            order=1, mode="constant", cval=0.0)
+
+
+def _plane_geometry(r_nm, detector_size, delta_r_nm, det_psize_nm,
+                    theta_max, phi_max):
+    """Host geometry for the spherical->planar detector mapping: the
+    (theta, phi, r) gather coordinates and the number of extra radial
+    shells needed to cover the flat detector (ref npfuncs.py:135-156)."""
+    h, w = detector_size
+    x_true = (np.arange(w) - np.median(np.arange(w))) * det_psize_nm
+    y_true = (np.arange(h) - np.median(np.arange(h))) * det_psize_nm
+    x_mesh, y_mesh = np.meshgrid(x_true, y_true)
+    r_mesh = np.sqrt(x_mesh ** 2 + y_mesh ** 2 + r_nm ** 2)
+    theta_mesh = -np.arccos(y_mesh / r_mesh) + PI / 2
+    phi_mesh = np.arctan(x_mesh / r_nm)
+    n_extra = int(np.ceil((r_mesh.max() - r_nm) / delta_r_nm))
+    delta_theta = 2 * theta_max / (h - 1)
+    delta_phi = 2 * phi_max / (w - 1)
+    coords = np.stack([theta_mesh / delta_theta + (h - 1) / 2.0,
+                       phi_mesh / delta_phi + (w - 1) / 2.0,
+                       (r_mesh - r_nm) / delta_r_nm]).astype(np.float32)
+    return coords, n_extra
+
+
+def _split_kernel(h):
+    """Host complex kernel -> permuted split (re, im) float32 pair."""
+    from .splitfft import permute_kernel_2d
+    h_p = permute_kernel_2d(np.fft.ifftshift(np.asarray(h)))
+    return (np.real(h_p).astype(np.float32), np.imag(h_p).astype(np.float32))
+
+
+def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
+                         det_psize_cm=None, theta_max=PI / 18,
+                         phi_max=PI / 18, free_prop_cm=None,
+                         map_to_plane=True):
+    """Precompute every host-side constant of the split spherical path.
+
+    Returns a pytree of jnp arrays meant to be passed as a JIT ARGUMENT
+    into :func:`multislice_propagate_spherical_split` (``plan=``). Baking
+    these as traced constants instead serializes hundreds of MB into the
+    compiled program (the (3, Y, X, Z) resample coordinates alone are
+    201 MB at 256^3) — on RPC-compiled TPU backends that hits the
+    remote-compile body cap. ``shape`` is (dim_y, dim_x, n_slice).
+    """
+    from .fresnel import get_kernel_spherical
+    dim_y, dim_x, n_slice = shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    dist_to_source_nm = dist_to_source_cm * 1e7
+    delta_nm = voxel_nm[-1]
+    lmbda_nm = 1240.0 / energy_ev
+    probe_size = (dim_y, dim_x)
+
+    coords = _spherical_sample_coords((dim_y, dim_x, n_slice),
+                                      dist_to_source_nm, delta_nm,
+                                      theta_max, phi_max)
+    ms = [_split_kernel(get_kernel_spherical(
+        delta_nm, lmbda_nm, dist_to_source_nm + i * delta_nm,
+        theta_max, phi_max, probe_size)) for i in range(n_slice)]
+    plan = {
+        "coords": jnp.asarray(coords),
+        "hr_z": jnp.asarray(np.stack([m[0] for m in ms])),
+        "hi_z": jnp.asarray(np.stack([m[1] for m in ms])),
+    }
+    r_nm = dist_to_source_nm + delta_nm * n_slice
+    if free_prop_cm is not None:
+        fr, fi = _split_kernel(get_kernel_spherical(
+            free_prop_cm * 1e7, lmbda_nm, r_nm,
+            theta_max, phi_max, probe_size))
+        plan["fp_hr"] = jnp.asarray(fr)
+        plan["fp_hi"] = jnp.asarray(fi)
+        r_nm += free_prop_cm * 1e7
+    if map_to_plane:
+        if det_psize_cm is None:
+            raise ValueError("map_to_plane plan needs det_psize_cm")
+        pc, n_extra = _plane_geometry(r_nm, probe_size, delta_nm,
+                                      det_psize_cm * 1e7, theta_max, phi_max)
+        shells = []
+        r_current = r_nm
+        for _ in range(n_extra):
+            r_current += delta_nm
+            shells.append(_split_kernel(get_kernel_spherical(
+                delta_nm, lmbda_nm, r_current, theta_max, phi_max,
+                probe_size)))
+        plan["plane_coords"] = jnp.asarray(pc)
+        plan["plane_hr"] = jnp.asarray(
+            np.stack([s[0] for s in shells]) if shells
+            else np.zeros((0, dim_y, dim_x), np.float32))
+        plan["plane_hi"] = jnp.asarray(
+            np.stack([s[1] for s in shells]) if shells
+            else np.zeros((0, dim_y, dim_x), np.float32))
+    return plan
 
 
 def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
@@ -141,7 +231,7 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                                          psize_cm, dist_to_source_cm,
                                          det_psize_cm, theta_max=PI / 18,
                                          phi_max=PI / 18, free_prop_cm=None,
-                                         map_to_plane=True):
+                                         map_to_plane=True, plan=None):
     """Split-complex twin of :func:`multislice_propagate_spherical`.
 
     No complex dtype ever reaches the device (for TPU runtimes without
@@ -149,10 +239,13 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
     HOST, pre-permuted into the radix transform's frequency order, and the
     slice sweep carries (re, im) float32 through the MXU matmul-DFT of
     ops.splitfft. Returns ``(re, im)`` of shape (B, Y, X).
+
+    Pass ``plan`` = :func:`build_spherical_plan` output **as a jit
+    argument** when calling under jit on a remote-compiled backend: the
+    plan's resample coordinates + kernel stacks are hundreds of MB at
+    256^3 and must travel as runtime arguments, not baked constants.
     """
-    from .splitfft import (apply_kernel_split_perm, permute_kernel_2d,
-                           cexp_modulation, cmul)
-    from .fresnel import get_kernel_spherical
+    from .splitfft import (apply_kernel_split_perm, cexp_modulation, cmul)
 
     grid_delta_batch = jnp.asarray(grid_delta_batch, jnp.float32)
     grid_beta_batch = jnp.asarray(grid_beta_batch, jnp.float32)
@@ -163,8 +256,14 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
     lmbda_nm = 1240.0 / energy_ev
     probe_size = (dim_y, dim_x)
 
-    sph = jax.vmap(lambda v: cartesian_to_spherical(
-        v, dist_to_source_nm, delta_nm, theta_max, phi_max))
+    if plan is None:
+        plan = build_spherical_plan(
+            (dim_y, dim_x, n_slice), energy_ev, psize_cm, dist_to_source_cm,
+            det_psize_cm=det_psize_cm, theta_max=theta_max, phi_max=phi_max,
+            free_prop_cm=free_prop_cm, map_to_plane=map_to_plane)
+    coords = list(plan["coords"])
+    sph = jax.vmap(lambda v: map_coordinates(v, coords, order=1,
+                                             mode="constant", cval=0.0))
     delta_sph = sph(grid_delta_batch)
     beta_sph = sph(grid_beta_batch)
 
@@ -174,14 +273,6 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                             (batch, dim_y, dim_x))
 
     kz = np.float32(2 * PI * delta_nm / lmbda_nm)
-    h_stack = np.stack([
-        np.asarray(permute_kernel_2d(np.fft.ifftshift(
-            get_kernel_spherical(delta_nm, lmbda_nm,
-                                 dist_to_source_nm + i * delta_nm,
-                                 theta_max, phi_max, probe_size))))
-        for i in range(n_slice)])
-    hr_z = jnp.asarray(np.real(h_stack).astype(np.float32))
-    hi_z = jnp.asarray(np.imag(h_stack).astype(np.float32))
     delta_z = jnp.moveaxis(delta_sph, -1, 0)
     beta_z = jnp.moveaxis(beta_sph, -1, 0)
 
@@ -194,19 +285,30 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
         return (re, im), None
 
     (w_re, w_im), _ = jax.lax.scan(step, (w_re, w_im),
-                                   (delta_z, beta_z, hr_z, hi_z))
+                                   (delta_z, beta_z,
+                                    plan["hr_z"], plan["hi_z"]))
 
-    r_nm = dist_to_source_nm + delta_nm * n_slice
     if free_prop_cm is not None:
-        w_re, w_im = _free_propagate_spherical_split(
-            w_re, w_im, free_prop_cm, r_nm * 1e-7, lmbda_nm, probe_size,
-            theta_max, phi_max)
-        r_nm += free_prop_cm * 1e7
+        w_re, w_im = apply_kernel_split_perm(w_re, w_im,
+                                             plan["fp_hr"], plan["fp_hi"])
 
     if map_to_plane:
-        w_re, w_im = jax.vmap(lambda re, im: get_wavefront_on_plane_split(
-            re, im, r_nm, probe_size, delta_nm, energy_ev,
-            det_psize_cm * 1e7, theta_max, phi_max))(w_re, w_im)
+        def to_plane(re, im):
+            def shell(carry, hs):
+                r, i = carry
+                r, i = apply_kernel_split_perm(r, i, hs[0], hs[1])
+                return (r, i), (r, i)
+
+            (_, _), (sh_re, sh_im) = jax.lax.scan(
+                shell, (re, im),
+                (plan["plane_hr"], plan["plane_hi"]))
+            stack_re = jnp.concatenate([re[None], sh_re]).transpose(1, 2, 0)
+            stack_im = jnp.concatenate([im[None], sh_im]).transpose(1, 2, 0)
+            pc = list(plan["plane_coords"])
+            return (map_coordinates(stack_re, pc, order=1, mode="nearest"),
+                    map_coordinates(stack_im, pc, order=1, mode="nearest"))
+
+        w_re, w_im = jax.vmap(to_plane)(w_re, w_im)
     return w_re, w_im
 
 

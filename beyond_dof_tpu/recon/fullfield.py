@@ -89,9 +89,15 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
     """One fused train step (value_and_grad + Adam + projections + shrink-wrap)."""
     forward_kwargs = forward_kwargs or {}
 
-    def loss_fn(params, mask, theta_batch, prj_mag):
+    def loss_fn(params, mask, theta_batch, prj_mag, plan=None):
         obj_delta = params["delta"] * mask
         obj_beta = params["beta"] * mask
+        fwd_extra = dict(forward_kwargs)
+        if plan is not None:
+            # spherical resample coords + kernel stacks travel as jit
+            # ARGUMENTS (hundreds of MB at 256^3 — baking them as traced
+            # constants would blow the remote-compile body cap)
+            fwd_extra["plan"] = plan
         if split_complex:
             # complex-dtype-free forward for TPU runtimes without complex64
             # support (the loss only consumes magnitudes); the probe split
@@ -108,7 +114,7 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 propagate_last=propagate_last, remat=remat,
                 forward_algorithm=forward_algorithm,
                 kernel_size=kernel_size, tile_mesh=tile_mesh,
-                rotation_grad=rotation_grad, **forward_kwargs)
+                rotation_grad=rotation_grad, **fwd_extra)
             err = jnp.mean((jnp.sqrt(re * re + im * im) - prj_mag) ** 2)
         else:
             if optimize_probe:
@@ -130,9 +136,10 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
             loss = loss + probe_tv(params["probe_real"])
         return loss, (err, reg)
 
-    def _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch):
+    def _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch,
+                   plan=None):
         (loss, (err, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, mask, theta_batch, prj_mag)
+            params, mask, theta_batch, prj_mag, plan)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = apply_projection(params, mask, epoch, n_epochs_mask_release,
@@ -142,11 +149,13 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
         return params, opt_state, mask, loss, err, reg
 
     @jax.jit
-    def step(params, opt_state, mask, theta_batch, prj_mag, epoch):
-        return _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch)
+    def step(params, opt_state, mask, theta_batch, prj_mag, epoch, plan=None):
+        return _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch,
+                          plan)
 
     @jax.jit
-    def epoch_scan(params, opt_state, mask, prj_all, theta_all, idx, epoch):
+    def epoch_scan(params, opt_state, mask, prj_all, theta_all, idx, epoch,
+                   plan=None):
         """All minibatches of one epoch in a single device program.
 
         ``prj_all``/``theta_all`` are the DEVICE-RESIDENT full projection
@@ -161,7 +170,7 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
             th = theta_all[idx_row]
             mag = prj_all[idx_row]
             params, opt_state, mask, loss, err, reg = _step_impl(
-                params, opt_state, mask, th, mag, epoch)
+                params, opt_state, mask, th, mag, epoch, plan)
             return (params, opt_state, mask), (loss, err, reg)
 
         (params, opt_state, mask), (losses, errs, regs) = jax.lax.scan(
@@ -325,6 +334,21 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
             # (no gathers; ~1.5x on the composed train step at 256^3),
             # reference-parity bilinear gather elsewhere
             fwd_kwargs["rotation"] = rotation
+        fwd_plan = None
+        if use_split and eff_forward == "spherical" and \
+                not isinstance(free_prop_cm, str):
+            # precompute the spherical resample coords + per-slice kernel
+            # stacks ONCE per level and feed them to the jitted step as an
+            # argument pytree (at 256^3 they are ~370 MB — as traced
+            # constants they would exceed the remote-compile body cap)
+            from ..ops.spherical import build_spherical_plan
+            fwd_plan = build_spherical_plan(
+                obj_shape, energy_ev, psize_cm * ds_level,
+                fwd_kwargs["dist_to_source_cm"],
+                det_psize_cm=fwd_kwargs["det_psize_cm"],
+                theta_max=fwd_kwargs.get("theta_max", 0.17453),
+                phi_max=fwd_kwargs.get("phi_max", 0.17453),
+                free_prop_cm=free_prop_cm)
         # remat='auto': run the O(1)-activation invertible VJP (fused Pallas
         # sweeps on TPU) while the predicted backward error amplification
         # e^{2 k sum_z max beta_z} stays below ``invertible_amp_limit``,
@@ -455,7 +479,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                     idx = jax.device_put(idx, data_sharding(mesh, 2, 1))
                 params, opt_state, mask_dev, losses, errs, regs = epoch_scan(
                     params, opt_state, mask_dev, prj_dev, theta_dev, idx,
-                    jnp.int32(epoch))
+                    jnp.int32(epoch), fwd_plan)
                 current_loss = float(losses[-1])
                 current_reg = float(regs[-1])
             else:
@@ -468,7 +492,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                         prj_mag = jax.device_put(prj_mag, prj_shard)
                     params, opt_state, mask_dev, loss, err, reg = step(
                         params, opt_state, mask_dev, theta_batch, prj_mag,
-                        jnp.int32(epoch))
+                        jnp.int32(epoch), fwd_plan)
                     current_loss, current_reg = float(loss), float(reg)
             if profiling:
                 jax.profiler.stop_trace()

@@ -83,6 +83,34 @@ def test_spherical_split_matches_complex():
     assert np.abs(out - ref).max() < 1e-5
 
 
+def test_spherical_split_plan_parity():
+    """Passing a precomputed plan (jit-argument pytree, the remote-compile
+    route at 256^3) is numerically identical to the plan-free call."""
+    import jax
+    from beyond_dof_tpu.ops.spherical import (
+        multislice_propagate_spherical_split, build_spherical_plan)
+
+    gd, gb = adhesin_phantom(16)
+    kw = dict(energy_ev=800, psize_cm=0.67e-7, dist_to_source_cm=1e-4,
+              det_psize_cm=2e-7, theta_max=PI / 15, phi_max=PI / 15,
+              free_prop_cm=1e-4, map_to_plane=True)
+    pr = np.ones((16, 16), np.float32)
+    pi = np.zeros((16, 16), np.float32)
+    re0, im0 = multislice_propagate_spherical_split(gd[None], gb[None],
+                                                    pr, pi, **kw)
+    plan = build_spherical_plan((16, 16, 16), kw["energy_ev"], kw["psize_cm"],
+                                kw["dist_to_source_cm"],
+                                det_psize_cm=kw["det_psize_cm"],
+                                theta_max=kw["theta_max"],
+                                phi_max=kw["phi_max"],
+                                free_prop_cm=kw["free_prop_cm"])
+    fn = jax.jit(lambda d, b, p: multislice_propagate_spherical_split(
+        d, b, pr, pi, plan=p, **kw))
+    re1, im1 = fn(gd[None], gb[None], plan)
+    assert np.abs(np.asarray(re1) - np.asarray(re0)).max() < 1e-6
+    assert np.abs(np.asarray(im1) - np.asarray(im0)).max() < 1e-6
+
+
 def test_engine_point_probe_split(tmp_path):
     """cone_pp-class engine run in split-complex mode (probe_type='point'
     routes through the split spherical propagator)."""
