@@ -118,6 +118,31 @@ def _cmd_baseline(args):
                                                        rec.shape))
 
 
+def _cmd_dump(args):
+    """Dump an exchange H5 to TIFF magnitude/phase stacks
+    (replaces the reference's dump_diffraction_data.py:6-9)."""
+    from .utils.plots import dump_diffraction_data
+    dest = dump_diffraction_data(args.data, dest_folder=args.out)
+    print("Wrote mag/phase stacks in {}".format(dest))
+
+
+def _cmd_fsc(args):
+    """FSC/FRC of a reconstruction vs the phantom, with the 1/2-bit
+    criterion curve (replaces the reference's plot_fsc.py:11-14)."""
+    from .io import tiff
+    from .utils.plots import plot_fsc
+
+    def load(path):
+        if path.endswith(".npy"):
+            return np.load(path)
+        return tiff.read_tiff(path)
+
+    obj, ref = load(args.recon), load(args.reference)
+    radii, curve = plot_fsc(obj, ref, save_path=args.out, ring=args.ring)
+    print("Wrote {} ({} shells, FSC[0]={:.3f})".format(
+        args.out, len(radii), float(curve[0])))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="beyond_dof_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -171,6 +196,21 @@ def main(argv=None):
     pc.add_argument("--theta-st", type=float, default=0.0)
     pc.add_argument("--theta-end", type=float, default=2 * np.pi)
     pc.set_defaults(fn=_cmd_baseline)
+
+    pd = sub.add_parser("dump", help="H5 -> TIFF magnitude/phase stacks")
+    pd.add_argument("--data", required=True)
+    pd.add_argument("--out", default="raw_data")
+    pd.set_defaults(fn=_cmd_dump)
+
+    pf = sub.add_parser("fsc", help="FSC curve of recon vs phantom")
+    pf.add_argument("--recon", required=True,
+                    help=".npy or .tiff reconstruction volume")
+    pf.add_argument("--reference", required=True,
+                    help=".npy or .tiff ground-truth volume")
+    pf.add_argument("--out", default="fsc")
+    pf.add_argument("--ring", action="store_true",
+                    help="2-D FRC instead of 3-D FSC")
+    pf.set_defaults(fn=_cmd_fsc)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -71,3 +71,26 @@ def test_cli_help():
     from beyond_dof_tpu import cli
     with pytest.raises(SystemExit):
         cli.main(["--help"])
+
+
+def test_cli_dump_and_fsc(tmp_path, monkeypatch):
+    """dump (H5 -> TIFF mag/phase, ref dump_diffraction_data.py:6-9) and
+    fsc (recon-vs-phantom curve, ref plot_fsc.py:11-14) subcommands."""
+    import numpy as np
+    from beyond_dof_tpu import cli
+    from beyond_dof_tpu.io.exchange import write_exchange_data
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(0)
+    data = (rng.rand(3, 8, 8) + 1j * rng.rand(3, 8, 8)).astype(np.complex64)
+    write_exchange_data("d.h5", data)
+    cli.main(["dump", "--data", "d.h5", "--out", "raw"])
+    assert (tmp_path / "raw" / "mag.tiff").exists()
+    assert (tmp_path / "raw" / "phase.tiff").exists()
+
+    vol = rng.rand(8, 8, 8).astype(np.float32)
+    np.save("vol.npy", vol)
+    cli.main(["fsc", "--recon", "vol.npy", "--reference", "vol.npy",
+              "--out", "fscdir"])
+    fsc = np.load(tmp_path / "fscdir" / "fsc.npy")
+    assert np.allclose(fsc[: 3], 1.0, atol=1e-5)
