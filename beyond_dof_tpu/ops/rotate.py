@@ -254,6 +254,29 @@ rotate_volume_zfirst_tfgrad.defvjp(_rvzt_fwd, _rvzt_bwd)
 _SHEAR_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def set_shear_precision(spec):
+    """Set the MXU precision of the shear einsums.
+
+    Accepts a Precision, a name, or a 2-tuple (data, weights) of either —
+    e.g. ``('high', 'default')`` splits the field operand into two bf16
+    passes while keeping the banded interpolation weights at plain bf16
+    (2 MXU passes per matmul instead of HIGHEST's 6). Weight rounding at
+    bf16 moves the effective sample position by < 2^-8 of a pixel — far
+    below the per-shear-linear vs bilinear methodological difference — so
+    the cheap mode is geometrically safe; the data operand keeps 2^-16
+    relative accuracy. Returns the previous setting.
+    """
+    global _SHEAR_PRECISION
+    prev = _SHEAR_PRECISION
+
+    def one(p):
+        return getattr(jax.lax.Precision, p.upper()) if isinstance(p, str) else p
+
+    _SHEAR_PRECISION = (tuple(one(p) for p in spec)
+                        if isinstance(spec, (tuple, list)) else one(spec))
+    return prev
+
+
 def _shear_mats(shift, n):
     """(K, n, n) banded linear-interpolation matrices, zero fill.
 

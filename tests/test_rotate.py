@@ -233,3 +233,26 @@ def test_split_forward_model_shear_rotation_close():
         d, b, th, pr, pi, 5000.0, 1e-7, rotation="bilinear")
     assert np.abs(np.asarray(re1) - np.asarray(re2)).max() < 1e-4
     assert np.abs(np.asarray(im1) - np.asarray(im2)).max() < 1e-4
+
+
+def test_set_shear_precision_roundtrip():
+    """set_shear_precision accepts names, Precision values, and per-operand
+    (data, weights) tuples, and restores cleanly."""
+    import jax
+    from beyond_dof_tpu.ops import rotate as R
+    from beyond_dof_tpu.ops.rotate import rotate_volume_shear3
+
+    v = jnp.asarray(_vol(12))
+    ref = np.asarray(rotate_volume_shear3(v, 0.4))
+    prev = R.set_shear_precision(("high", "default"))
+    assert prev == jax.lax.Precision.HIGHEST
+    assert R._SHEAR_PRECISION == (jax.lax.Precision.HIGH,
+                                  jax.lax.Precision.DEFAULT)
+    try:
+        # CPU executes every precision in f32: results must be identical,
+        # proving the tuple plumbs through all three einsums
+        out = np.asarray(rotate_volume_shear3(v, 0.4))
+        assert np.abs(out - ref).max() < 1e-6
+    finally:
+        R.set_shear_precision(prev)
+    assert R._SHEAR_PRECISION == jax.lax.Precision.HIGHEST
