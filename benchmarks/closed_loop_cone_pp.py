@@ -62,15 +62,22 @@ def run(n_epochs=3, n_theta=500, size=256,
             forward_algorithm="spherical", plan=plan, **sph)
 
     gd_d, gb_d = jnp.asarray(gd), jnp.asarray(gb)
-    data = np.empty((n_theta, size, size), np.complex64)
-    for i0 in range(0, n_theta, batch):
-        th = jnp.asarray(theta_ls[i0:i0 + batch])
-        re, im = fwd(gd_d, gb_d, th, plan)
-        data[i0:i0 + th.shape[0]] = np.asarray(re) + 1j * np.asarray(im)
-        if i0 % 100 == 0:
-            print("sim %d/%d t=%.1fs" % (i0 + batch, n_theta,
-                                         time.time() - t0), flush=True)
-    t_sim = time.time() - t0
+    cache = os.path.join(out, "sim_cache_%d_%d.npy" % (size, n_theta))
+    if os.path.exists(cache):
+        data = np.load(cache)
+        t_sim = 0.0
+        print("sim cache hit: %s" % cache, flush=True)
+    else:
+        data = np.empty((n_theta, size, size), np.complex64)
+        for i0 in range(0, n_theta, batch):
+            th = jnp.asarray(theta_ls[i0:i0 + batch])
+            re, im = fwd(gd_d, gb_d, th, plan)
+            data[i0:i0 + th.shape[0]] = np.asarray(re) + 1j * np.asarray(im)
+            if i0 % 100 == 0:
+                print("sim %d/%d t=%.1fs" % (i0 + batch, n_theta,
+                                             time.time() - t0), flush=True)
+        t_sim = time.time() - t0
+        np.save(cache, data)
 
     # ---- reconstruction: params_cone_pp hyperparameters ------------------
     rec = dict(FULLFIELD_PRESETS["cone_pp"]["reconstruct"])

@@ -80,7 +80,7 @@ def rotate_and_project_batch(obj_delta, obj_beta, theta_batch, probe,
             det_psize_cm=spherical_kwargs["det_psize_cm"],
             theta_max=spherical_kwargs.get("theta_max", 0.17453),
             phi_max=spherical_kwargs.get("phi_max", 0.17453),
-            free_prop_cm=free_prop_cm)
+            free_prop_cm=free_prop_cm, remat=bool(remat))
     else:
         raise ValueError(
             "forward_algorithm must be 'fresnel', 'fd', 'conv', or 'spherical'")
@@ -168,7 +168,7 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             theta_max=spherical_kwargs.get("theta_max", 0.17453),
             phi_max=spherical_kwargs.get("phi_max", 0.17453),
             free_prop_cm=free_prop_cm,
-            plan=spherical_kwargs.get("plan"))
+            plan=spherical_kwargs.get("plan"), remat=bool(remat))
     raise ValueError("split forward supports 'fresnel', 'conv', and "
                      "'spherical'; got %r" % (forward_algorithm,))
 

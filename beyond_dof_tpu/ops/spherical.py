@@ -161,13 +161,16 @@ def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
                                    energy_ev, psize_cm, dist_to_source_cm,
                                    det_psize_cm, theta_max=PI / 18,
                                    phi_max=PI / 18, free_prop_cm=None,
-                                   map_to_plane=True):
+                                   map_to_plane=True, remat=True):
     """Cone-beam multislice propagation (ref npfuncs.py:66-118).
 
     grids: (B, Y, X, Z). The object is resampled to spherical coordinates,
     modulated slice by slice (kz = 2 pi dr / lambda), each slice followed by
     a spherical free-space step at the current radius; optionally mapped back
-    to the planar detector grid at the end.
+    to the planar detector grid at the end. ``remat=True`` checkpoints each
+    slice step: without it the scan stores every per-slice FFT intermediate
+    for the backward pass (O(n_slice * batch * Y * X) extra HBM — several
+    GB at 256^3, enough to OOM a 16 GB chip during training).
     """
     grid_delta_batch = jnp.asarray(grid_delta_batch, jnp.float32)
     grid_beta_batch = jnp.asarray(grid_beta_batch, jnp.float32)
@@ -210,6 +213,8 @@ def multislice_propagate_spherical(grid_delta_batch, grid_beta_batch, probe,
         w = jnp.fft.ifft2(jnp.fft.fft2(w) * hi)
         return w, None
 
+    if remat:
+        step = jax.checkpoint(step)
     wavefront, _ = jax.lax.scan(step, wavefront, (delta_z, beta_z, h_stack))
 
     r_nm = dist_to_source_nm + delta_nm * n_slice
@@ -231,7 +236,8 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                                          psize_cm, dist_to_source_cm,
                                          det_psize_cm, theta_max=PI / 18,
                                          phi_max=PI / 18, free_prop_cm=None,
-                                         map_to_plane=True, plan=None):
+                                         map_to_plane=True, plan=None,
+                                         remat=True):
     """Split-complex twin of :func:`multislice_propagate_spherical`.
 
     No complex dtype ever reaches the device (for TPU runtimes without
@@ -284,6 +290,10 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
         re, im = apply_kernel_split_perm(re, im, hr, hi)
         return (re, im), None
 
+    if remat:
+        # without per-slice checkpointing the backward stores every DFT
+        # intermediate of every slice (several GB at 256^3 — OOMs training)
+        step = jax.checkpoint(step)
     (w_re, w_im), _ = jax.lax.scan(step, (w_re, w_im),
                                    (delta_z, beta_z,
                                     plan["hr_z"], plan["hi_z"]))
@@ -299,6 +309,8 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                 r, i = apply_kernel_split_perm(r, i, hs[0], hs[1])
                 return (r, i), (r, i)
 
+            if remat:
+                shell = jax.checkpoint(shell)
             (_, _), (sh_re, sh_im) = jax.lax.scan(
                 shell, (re, im),
                 (plan["plane_hr"], plan["plane_hi"]))
