@@ -17,6 +17,7 @@ rotation axis along Y; rotation therefore acts on the (X, Z) plane
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -275,6 +276,14 @@ def set_shear_precision(spec):
     _SHEAR_PRECISION = (tuple(one(p) for p in spec)
                         if isinstance(spec, (tuple, list)) else one(spec))
     return prev
+
+
+# Env override, e.g. BDT_SHEAR_PRECISION=high,default (data, weights) —
+# lets benchmarks A/B the shear matmul precision without code changes.
+_env_spec = os.environ.get("BDT_SHEAR_PRECISION")
+if _env_spec:
+    set_shear_precision(tuple(_env_spec.split(","))
+                        if "," in _env_spec else _env_spec)
 
 
 def _shear_mats(shift, n):
