@@ -168,7 +168,8 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             theta_max=spherical_kwargs.get("theta_max", 0.17453),
             phi_max=spherical_kwargs.get("phi_max", 0.17453),
             free_prop_cm=free_prop_cm,
-            plan=spherical_kwargs.get("plan"), remat=bool(remat))
+            plan=spherical_kwargs.get("plan"), remat=bool(remat),
+            resample_grad=spherical_kwargs.get("resample_grad", "auto"))
     raise ValueError("split forward supports 'fresnel', 'conv', and "
                      "'spherical'; got %r" % (forward_algorithm,))
 

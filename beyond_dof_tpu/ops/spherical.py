@@ -55,6 +55,72 @@ def _spherical_sample_coords(shape, dist_to_source_nm, psize_nm, theta_max,
     return coords.astype(np.float32)
 
 
+def _spherical_inverse_coords(shape, dist_to_source_nm, psize_nm, theta_max,
+                              phi_max):
+    """Inverse of :func:`_spherical_sample_coords`: for every cartesian
+    voxel, its fractional (theta, phi, r) grid position, plus the Jacobian
+    determinant |d(spherical idx)/d(cartesian idx)| (central differences).
+
+    Together these implement the adjoint of the trilinear resample as a
+    GATHER: R^T g (x) ~= g(S(x)) |det J_S(x)| for the inverse map S — the
+    continuum adjoint of the interpolation operator, discretization error
+    O(h). On TPU this replaces the backward scatter-add that XLA derives
+    for the forward gather (measured 11 s per train step at 256^3 vs
+    ~2 s for the gather form).
+    """
+    s0, s1, s2 = shape
+    theta_mid = (s0 - 1) / 2.0
+    phi_mid = (s1 - 1) / 2.0
+    d_theta = 2 * theta_max / (s0 - 1)
+    d_phi = 2 * phi_max / (s1 - 1)
+    a0 = (np.arange(s0) - theta_mid) * psize_nm          # x
+    a1 = (np.arange(s1) - phi_mid) * psize_nm            # y
+    a2 = np.arange(s2) * psize_nm + dist_to_source_nm    # z + R0
+    x = a0[:, None, None]
+    y = a1[None, :, None]
+    zr = a2[None, None, :]
+    r = np.sqrt(x ** 2 + y ** 2 + zr ** 2)
+    theta = np.arcsin(np.clip(x / r, -1.0, 1.0))
+    phi = np.arctan2(y, zr)
+    it = theta / d_theta + theta_mid
+    ip = phi / d_phi + phi_mid
+    ir = (r - dist_to_source_nm) / psize_nm
+    # forward convention (_spherical_sample_coords transposes): the
+    # spherical OUTPUT grid is ordered (phi, theta, r) — phi first
+    inv = np.stack([np.broadcast_to(ip, (s0, s1, s2)),
+                    np.broadcast_to(it, (s0, s1, s2)),
+                    np.broadcast_to(ir, (s0, s1, s2))])
+    jac = np.abs(np.linalg.det(np.stack(
+        [np.stack(np.gradient(inv[k], axis=(0, 1, 2)), axis=-1)
+         for k in range(3)], axis=-2)))
+    return inv.astype(np.float32), jac.astype(np.float32)
+
+
+@jax.custom_vjp
+def _resample_invgrad(vol, coords, inv_coords, inv_jac):
+    """Trilinear gather with an inverse-map gather adjoint (see
+    :func:`_spherical_inverse_coords`)."""
+    return map_coordinates(vol, list(coords), order=1, mode="constant",
+                           cval=0.0)
+
+
+def _resample_invgrad_fwd(vol, coords, inv_coords, inv_jac):
+    out = _resample_invgrad(vol, coords, inv_coords, inv_jac)
+    return out, (coords, inv_coords, inv_jac)
+
+
+def _resample_invgrad_bwd(res, g):
+    coords, inv_coords, inv_jac = res
+    gv = map_coordinates(g, list(inv_coords), order=1, mode="constant",
+                         cval=0.0) * inv_jac
+    # plan constants carry no useful cotangent (dropped by DCE upstream)
+    return (gv, jnp.zeros_like(coords), jnp.zeros_like(inv_coords),
+            jnp.zeros_like(inv_jac))
+
+
+_resample_invgrad.defvjp(_resample_invgrad_fwd, _resample_invgrad_bwd)
+
+
 def cartesian_to_spherical(arr, dist_to_source_nm, psize_nm,
                            theta_max=PI / 18, phi_max=PI / 18):
     """Resample a (Y, X, Z) cartesian volume onto a (theta, phi, r) grid.
@@ -119,11 +185,16 @@ def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
     coords = _spherical_sample_coords((dim_y, dim_x, n_slice),
                                       dist_to_source_nm, delta_nm,
                                       theta_max, phi_max)
+    inv_coords, inv_jac = _spherical_inverse_coords(
+        (dim_y, dim_x, n_slice), dist_to_source_nm, delta_nm,
+        theta_max, phi_max)
     ms = [_split_kernel(get_kernel_spherical(
         delta_nm, lmbda_nm, dist_to_source_nm + i * delta_nm,
         theta_max, phi_max, probe_size)) for i in range(n_slice)]
     plan = {
         "coords": jnp.asarray(coords),
+        "inv_coords": jnp.asarray(inv_coords),
+        "inv_jac": jnp.asarray(inv_jac),
         "hr_z": jnp.asarray(np.stack([m[0] for m in ms])),
         "hi_z": jnp.asarray(np.stack([m[1] for m in ms])),
     }
@@ -237,7 +308,7 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                                          det_psize_cm, theta_max=PI / 18,
                                          phi_max=PI / 18, free_prop_cm=None,
                                          map_to_plane=True, plan=None,
-                                         remat=True):
+                                         remat=True, resample_grad="auto"):
     """Split-complex twin of :func:`multislice_propagate_spherical`.
 
     No complex dtype ever reaches the device (for TPU runtimes without
@@ -267,9 +338,19 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
             (dim_y, dim_x, n_slice), energy_ev, psize_cm, dist_to_source_cm,
             det_psize_cm=det_psize_cm, theta_max=theta_max, phi_max=phi_max,
             free_prop_cm=free_prop_cm, map_to_plane=map_to_plane)
-    coords = list(plan["coords"])
-    sph = jax.vmap(lambda v: map_coordinates(v, coords, order=1,
-                                             mode="constant", cval=0.0))
+    if resample_grad == "auto":
+        # exact adjoint of the trilinear gather is a scatter-add — measured
+        # ~11 s per 256^3 minibatch-5 step on v5e; the inverse-map gather
+        # adjoint (O(h) discretization error) runs at gather speed
+        from .pallas_kernels import _on_tpu
+        resample_grad = "inverse" if _on_tpu() else "exact"
+    if resample_grad == "inverse" and "inv_coords" in plan:
+        sph = jax.vmap(lambda v: _resample_invgrad(
+            v, plan["coords"], plan["inv_coords"], plan["inv_jac"]))
+    else:
+        coords = list(plan["coords"])
+        sph = jax.vmap(lambda v: map_coordinates(v, coords, order=1,
+                                                 mode="constant", cval=0.0))
     delta_sph = sph(grid_delta_batch)
     beta_sph = sph(grid_beta_batch)
 

@@ -225,8 +225,14 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
     if epoch_in_one_call == "auto":
         # On TPU backends (especially RPC-tunneled ones) per-minibatch host
         # dispatch costs O(seconds); run each epoch as one device program.
+        # EXCEPT the spherical (point-probe) forward: its single step is
+        # already a very large program (resample + per-radius scan + shell
+        # mapping, ~5 min to compile at 256^3) and chaining every minibatch
+        # into one scan crashes the TPU worker during compilation.
         from ..ops.pallas_kernels import _on_tpu
-        epoch_in_one_call = _on_tpu()
+        epoch_in_one_call = (_on_tpu()
+                             and not (probe_type == "point"
+                                      or forward_algorithm == "spherical"))
 
     if data is None:
         data = read_exchange_data(os.path.join(save_path, fname),

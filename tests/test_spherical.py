@@ -133,3 +133,72 @@ def test_engine_point_probe_split(tmp_path):
         dist_to_source_cm=1e-4, det_psize_cm=2e-7,
         theta_max=PI / 15, phi_max=PI / 15)
     assert np.isfinite(info["loss"]).all()
+
+
+def test_resample_inverse_adjoint_close():
+    """The inverse-map gather adjoint tracks the exact scatter adjoint on
+    smooth content at matched sampling (cos > 0.98): the TPU fast path for
+    the spherical resample backward (exact scatter measured ~11 s/step at
+    256^3 on v5e; the gather form runs at gather speed)."""
+    import jax
+    from jax.scipy.ndimage import map_coordinates
+    from beyond_dof_tpu.ops.spherical import (build_spherical_plan,
+                                              _resample_invgrad)
+
+    n, dist = 32, 7.5e-6   # volume subtends ~theta_max: matched sampling
+    plan = build_spherical_plan((n, n, n), 800, 1e-7, dist, det_psize_cm=2e-7,
+                                theta_max=PI / 15, phi_max=PI / 15,
+                                map_to_plane=False)
+    y = np.linspace(-1, 1, n)
+    g3 = np.exp(-(y[:, None, None] ** 2 + y[None, :, None] ** 2
+                  + y[None, None, :] ** 2) * 3).astype(np.float32)
+    vol = jnp.asarray(g3)
+    co = list(plan["coords"])
+    w = jnp.asarray((g3 * 0.5 + 0.2).astype(np.float32))
+
+    def loss_exact(v):
+        return jnp.sum(map_coordinates(v, co, order=1, mode="constant",
+                                       cval=0.0) ** 2 * w)
+
+    def loss_inv(v):
+        return jnp.sum(_resample_invgrad(v, plan["coords"],
+                                         plan["inv_coords"],
+                                         plan["inv_jac"]) ** 2 * w)
+
+    ge = np.asarray(jax.grad(loss_exact)(vol))
+    gi = np.asarray(jax.grad(loss_inv)(vol))
+    cos = (ge * gi).sum() / (np.linalg.norm(ge) * np.linalg.norm(gi))
+    rel = np.linalg.norm(gi - ge) / np.linalg.norm(ge)
+    assert cos > 0.98, cos
+    assert rel < 0.2, rel
+    # forward values are identical (custom_vjp wraps the same gather)
+    f0 = np.asarray(map_coordinates(vol, co, order=1, mode="constant",
+                                    cval=0.0))
+    f1 = np.asarray(_resample_invgrad(vol, plan["coords"],
+                                      plan["inv_coords"], plan["inv_jac"]))
+    assert np.abs(f0 - f1).max() == 0.0
+
+
+def test_engine_point_probe_inverse_grad():
+    """Engine run with resample_grad='inverse' (the TPU default) decreases
+    the loss on a matched-sampling cone-beam problem."""
+    from beyond_dof_tpu.models.phantom import adhesin_phantom
+    from beyond_dof_tpu.ops.spherical import multislice_propagate_spherical
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+
+    n, dist = 16, 3.75e-6
+    gd, gb = adhesin_phantom(n)
+    data = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((n, n), np.complex64), 800, 1e-7,
+        dist_to_source_cm=dist, det_psize_cm=2e-7, theta_max=PI / 15,
+        phi_max=PI / 15, map_to_plane=False))
+    data = np.tile(data, (4, 1, 1))
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, energy_ev=800, psize_cm=1e-7,
+        minibatch_size=2, shrink_cycle=None, save_outputs=False, verbose=False,
+        seed=0, probe_type="point", split_complex=True,
+        dist_to_source_cm=dist, det_psize_cm=2e-7,
+        theta_max=PI / 15, phi_max=PI / 15, resample_grad="inverse")
+    assert np.isfinite(info["loss"]).all()
+    assert info["loss"][-1] <= info["loss"][0]
