@@ -51,15 +51,18 @@ def run(size=256, batch=10, n_iters=5, seed=0):
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return timed
 
-    @jax.jit
-    def fwd_one(d, b, th):
-        rot = jax.lax.map(lambda t: R.rotate_pair_zfirst_shear3(d, b, t), th)
-        return rot
-
     results = {}
     ref_out = ref_grad = None
     for name, spec in SPECS:
         R.set_shear_precision(spec)
+
+        # fresh jit per mode: the precision is read at TRACE time, so a
+        # shared cached trace would silently reuse the first mode's setting
+        @jax.jit
+        def fwd_one(d, b, th):
+            return jax.lax.map(
+                lambda t: R.rotate_pair_zfirst_shear3(d, b, t), th)
+
         t1, t2 = make(n_iters), make(2 * n_iters)
         float(t1(vol_d, vol_b, thetas))
         float(t2(vol_d, vol_b, thetas))

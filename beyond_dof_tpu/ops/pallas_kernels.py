@@ -232,7 +232,7 @@ def _compiler_params(dim_y, dim_x):
 # Forward sweep kernel: grid (B, Z), field resident in VMEM scratch
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(n_slice, k):
+def _make_fwd_kernel(n_slice, k, use_dma=True):
     def kernel(delta_ref, beta_ref, probe_re_ref, probe_im_ref,
                hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
                iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
@@ -243,15 +243,22 @@ def _make_fwd_kernel(n_slice, k):
         # probe/out live in HBM (pl.ANY) and are DMA'd only at the first/
         # last slice of each batch item: they would otherwise hold 4 VMEM
         # plane-blocks for the whole sweep (16 MB at 1024^2), starving the
-        # double-buffering of the (delta, beta) slice stream.
+        # double-buffering of the (delta, beta) slice stream. DMA slicing
+        # `.at[bi]` needs X aligned to the 128-lane tile; planes narrower
+        # than that (use_dma=False) take VMEM block inputs instead — at
+        # those sizes the blocks are tiny and VMEM pressure is a non-issue.
         @pl.when(zi == 0)
         def _():
-            cp1 = pltpu.make_async_copy(probe_re_ref.at[bi], fre, sem)
-            cp1.start()
-            cp1.wait()
-            cp2 = pltpu.make_async_copy(probe_im_ref.at[bi], fim, sem)
-            cp2.start()
-            cp2.wait()
+            if use_dma:
+                cp1 = pltpu.make_async_copy(probe_re_ref.at[bi], fre, sem)
+                cp1.start()
+                cp1.wait()
+                cp2 = pltpu.make_async_copy(probe_im_ref.at[bi], fim, sem)
+                cp2.start()
+                cp2.wait()
+            else:
+                fre[:] = probe_re_ref[0]
+                fim[:] = probe_im_ref[0]
 
         # refractive modulation: f *= exp(i k delta - k beta)
         d = delta_ref[0, 0]
@@ -270,12 +277,16 @@ def _make_fwd_kernel(n_slice, k):
 
         @pl.when(zi == n_slice - 1)
         def _():
-            cp1 = pltpu.make_async_copy(fre, out_re_ref.at[bi], sem)
-            cp1.start()
-            cp1.wait()
-            cp2 = pltpu.make_async_copy(fim, out_im_ref.at[bi], sem)
-            cp2.start()
-            cp2.wait()
+            if use_dma:
+                cp1 = pltpu.make_async_copy(fre, out_re_ref.at[bi], sem)
+                cp1.start()
+                cp1.wait()
+                cp2 = pltpu.make_async_copy(fim, out_im_ref.at[bi], sem)
+                cp2.start()
+                cp2.wait()
+            else:
+                out_re_ref[0] = re
+                out_im_ref[0] = im
 
     return kernel
 
@@ -290,7 +301,10 @@ def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
     slice_spec = pl.BlockSpec((1, 1, dim_y, dim_x),
                               lambda b, z: (z, b, 0, 0),
                               memory_space=pltpu.VMEM)
-    plane_any = pl.BlockSpec(memory_space=pl.ANY)
+    use_dma = dim_x % 128 == 0
+    plane_io = (pl.BlockSpec(memory_space=pl.ANY) if use_dma else
+                pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
+                             memory_space=pltpu.VMEM))
     full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
                           memory_space=pltpu.VMEM)
     base = consts[0].shape[0]
@@ -300,11 +314,11 @@ def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
                       memory_space=pltpu.VMEM)
 
     out_re, out_im = pl.pallas_call(
-        _make_fwd_kernel(n_slice, k),
+        _make_fwd_kernel(n_slice, k, use_dma),
         grid=(batch, n_slice),
-        in_specs=[slice_spec, slice_spec, plane_any, plane_any, full2d,
+        in_specs=[slice_spec, slice_spec, plane_io, plane_io, full2d,
                   full2d, mat, mat, mat, mat, mat, mat, tw, tw],
-        out_specs=(plane_any, plane_any),
+        out_specs=(plane_io, plane_io),
         out_shape=(jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32),
                    jax.ShapeDtypeStruct((batch, dim_y, dim_x), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dim_y, dim_x), jnp.float32),
@@ -322,7 +336,7 @@ def _pallas_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret,
 # Semantics identical to ops.multislice._msi_bwd (XLA reference).
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(n_slice, k):
+def _make_bwd_kernel(n_slice, k, use_dma=True):
     def kernel(delta_ref, beta_ref, w_re_ref, w_im_ref, g_re_ref, g_im_ref,
                hr_ref, hi_ref, wr_ref, wi_ref, ws_ref,
                iwr_ref, iwi_ref, iws_ref, twr_ref, twi_ref,
@@ -333,11 +347,17 @@ def _make_bwd_kernel(n_slice, k):
 
         @pl.when(zi == 0)
         def _():
-            for src, dst in ((w_re_ref, wre), (w_im_ref, wim),
-                             (g_re_ref, gre), (g_im_ref, gim)):
-                cp = pltpu.make_async_copy(src.at[bi], dst, sem)
-                cp.start()
-                cp.wait()
+            if use_dma:
+                for src, dst in ((w_re_ref, wre), (w_im_ref, wim),
+                                 (g_re_ref, gre), (g_im_ref, gim)):
+                    cp = pltpu.make_async_copy(src.at[bi], dst, sem)
+                    cp.start()
+                    cp.wait()
+            else:
+                wre[:] = w_re_ref[0]
+                wim[:] = w_im_ref[0]
+                gre[:] = g_re_ref[0]
+                gim[:] = g_im_ref[0]
 
         d = delta_ref[0, 0]
         b = beta_ref[0, 0]
@@ -373,12 +393,16 @@ def _make_bwd_kernel(n_slice, k):
 
         @pl.when(zi == n_slice - 1)
         def _():
-            cp1 = pltpu.make_async_copy(gre, g0_re_ref.at[bi], sem)
-            cp1.start()
-            cp1.wait()
-            cp2 = pltpu.make_async_copy(gim, g0_im_ref.at[bi], sem)
-            cp2.start()
-            cp2.wait()
+            if use_dma:
+                cp1 = pltpu.make_async_copy(gre, g0_re_ref.at[bi], sem)
+                cp1.start()
+                cp1.wait()
+                cp2 = pltpu.make_async_copy(gim, g0_im_ref.at[bi], sem)
+                cp2.start()
+                cp2.wait()
+            else:
+                g0_re_ref[0] = gre[:]
+                g0_im_ref[0] = gim[:]
 
     return kernel
 
@@ -393,7 +417,10 @@ def _pallas_sweep_bwd(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
     rev_slice = pl.BlockSpec((1, 1, dim_y, dim_x),
                              lambda b, z: (n_slice - 1 - z, b, 0, 0),
                              memory_space=pltpu.VMEM)
-    plane_any = pl.BlockSpec(memory_space=pl.ANY)
+    use_dma = dim_x % 128 == 0
+    plane_io = (pl.BlockSpec(memory_space=pl.ANY) if use_dma else
+                pl.BlockSpec((1, dim_y, dim_x), lambda b, z: (b, 0, 0),
+                             memory_space=pltpu.VMEM))
     full2d = pl.BlockSpec((dim_y, dim_x), lambda b, z: (0, 0),
                           memory_space=pltpu.VMEM)
     base = consts[0].shape[0]
@@ -403,12 +430,12 @@ def _pallas_sweep_bwd(delta_z, beta_z, w_re, w_im, g_re, g_im, hr_p, hi_p,
                       memory_space=pltpu.VMEM)
 
     gd, gb, g0_re, g0_im = pl.pallas_call(
-        _make_bwd_kernel(n_slice, k),
+        _make_bwd_kernel(n_slice, k, use_dma),
         grid=(batch, n_slice),
-        in_specs=[rev_slice, rev_slice, plane_any, plane_any, plane_any,
-                  plane_any, full2d, full2d, mat, mat, mat, mat, mat, mat,
+        in_specs=[rev_slice, rev_slice, plane_io, plane_io, plane_io,
+                  plane_io, full2d, full2d, mat, mat, mat, mat, mat, mat,
                   tw, tw],
-        out_specs=(rev_slice, rev_slice, plane_any, plane_any),
+        out_specs=(rev_slice, rev_slice, plane_io, plane_io),
         out_shape=(
             jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
             jax.ShapeDtypeStruct(delta_z.shape, jnp.float32),
