@@ -252,7 +252,24 @@ rotate_volume_zfirst_tfgrad.defvjp(_rvzt_fwd, _rvzt_bwd)
 # use this as the fast path on TPU backends.
 # ---------------------------------------------------------------------------
 
-_SHEAR_PRECISION = jax.lax.Precision.HIGHEST
+_SHEAR_PRECISION = "auto"
+
+
+def _resolve_shear_precision():
+    """'auto' -> (data=HIGH, weights=DEFAULT) on TPU, HIGHEST elsewhere.
+
+    Validated end to end: the adhesin-64^3 closed loop reproduces the SAME
+    FSC half-bit fraction (0.7097) and resolution as HIGHEST with 16%
+    faster epochs; rotation fwd+bwd at 256^3 batch 10 measures 94 -> 71 ms
+    (benchmarks/shear_bench.py). Max abs deviation 5.5e-3 on O(1) data —
+    bf16 weight rounding, i.e. < 2^-8 of a pixel of effective sample
+    shift, well inside the per-shear-linear vs bilinear method difference.
+    """
+    if _SHEAR_PRECISION == "auto":
+        from .pallas_kernels import _on_tpu
+        return ((jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT)
+                if _on_tpu() else jax.lax.Precision.HIGHEST)
+    return _SHEAR_PRECISION
 
 
 def set_shear_precision(spec):
@@ -271,7 +288,9 @@ def set_shear_precision(spec):
     prev = _SHEAR_PRECISION
 
     def one(p):
-        return getattr(jax.lax.Precision, p.upper()) if isinstance(p, str) else p
+        if isinstance(p, str):
+            return p if p == "auto" else getattr(jax.lax.Precision, p.upper())
+        return p
 
     _SHEAR_PRECISION = (tuple(one(p) for p in spec)
                         if isinstance(spec, (tuple, list)) else one(spec))
@@ -313,12 +332,13 @@ def _shear3_core(vol, r, zfirst):
     sx = _shear_mats(a * zc, dim_x)            # (Z, O, X)
     sz = _shear_mats(b * xc, dim_z)            # (X, O, Z)
     # ShearX: out[y,o,z] = sum_x S[z,o,x] vol[y,x,z]
-    v = jnp.einsum("yxz,zox->yoz", vol, sx, precision=_SHEAR_PRECISION)
+    prec = _resolve_shear_precision()
+    v = jnp.einsum("yxz,zox->yoz", vol, sx, precision=prec)
     # ShearZ: out[y,x,o] = sum_z T[x,o,z] v[y,x,z]
-    v = jnp.einsum("yxz,xoz->yxo", v, sz, precision=_SHEAR_PRECISION)
+    v = jnp.einsum("yxz,xoz->yxo", v, sz, precision=prec)
     if zfirst:
-        return jnp.einsum("yxz,zox->zyo", v, sx, precision=_SHEAR_PRECISION)
-    return jnp.einsum("yxz,zox->yoz", v, sx, precision=_SHEAR_PRECISION)
+        return jnp.einsum("yxz,zox->zyo", v, sx, precision=prec)
+    return jnp.einsum("yxz,zox->yoz", v, sx, precision=prec)
 
 
 def _quadrant_views(vol):

@@ -245,9 +245,13 @@ def test_set_shear_precision_roundtrip():
     v = jnp.asarray(_vol(12))
     ref = np.asarray(rotate_volume_shear3(v, 0.4))
     prev = R.set_shear_precision(("high", "default"))
-    assert prev == jax.lax.Precision.HIGHEST
+    assert prev == "auto"   # default: cheap on TPU, HIGHEST elsewhere
     assert R._SHEAR_PRECISION == (jax.lax.Precision.HIGH,
                                   jax.lax.Precision.DEFAULT)
+    # CPU resolves 'auto' to HIGHEST
+    R.set_shear_precision("auto")
+    assert R._resolve_shear_precision() == jax.lax.Precision.HIGHEST
+    R.set_shear_precision(("high", "default"))
     try:
         # CPU executes every precision in f32: results must be identical,
         # proving the tuple plumbs through all three einsums
@@ -255,4 +259,4 @@ def test_set_shear_precision_roundtrip():
         assert np.abs(out - ref).max() < 1e-6
     finally:
         R.set_shear_precision(prev)
-    assert R._SHEAR_PRECISION == jax.lax.Precision.HIGHEST
+    assert R._SHEAR_PRECISION == "auto"
