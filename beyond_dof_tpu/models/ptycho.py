@@ -101,16 +101,30 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
 def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                          probe_im, energy_ev, psize_cm, probe_size, pad_arr,
                          h=None, probe_mask=None, free_prop_cm="inf",
-                         remat=True):
+                         remat=True, rotation="auto"):
     """Split-complex twin of :func:`ptycho_forward` (fresnel path only).
 
     Complex-dtype-free: rotation/pad/gather are real, the multislice and the
     far-field run through ops.splitfft. ``probe_mask`` must be real-valued.
     Returns ``(re, im)`` of shape (n_pos, py, px).
+
+    ``rotation='auto'`` uses the 3-shear banded-matmul rotation on TPU
+    backends (matmul adjoint — no backward scatter) and the
+    reference-parity bilinear gather elsewhere, mirroring the full-field
+    model's option.
     """
     from ..ops.multislice import multislice_propagate_batch_split
-    delta_rot = rotate_volume(obj_delta, theta)
-    beta_rot = rotate_volume(obj_beta, theta)
+    if rotation == "auto":
+        from ..ops.pallas_kernels import _on_tpu
+        rotation = "shear" if _on_tpu() else "bilinear"
+    if rotation == "shear":
+        from ..ops.rotate import rotate_volume_shear3
+        both = jnp.concatenate([obj_delta, obj_beta], axis=0)
+        rot = rotate_volume_shear3(both, theta)
+        delta_rot, beta_rot = rot[: obj_delta.shape[0]], rot[obj_delta.shape[0]:]
+    else:
+        delta_rot = rotate_volume(obj_delta, theta)
+        beta_rot = rotate_volume(obj_beta, theta)
     pad = ((int(pad_arr[0, 0]), int(pad_arr[0, 1])),
            (int(pad_arr[1, 0]), int(pad_arr[1, 1])), (0, 0))
     delta_rot = jnp.pad(delta_rot, pad)
