@@ -121,6 +121,133 @@ def _resample_invgrad_bwd(res, g):
 _resample_invgrad.defvjp(_resample_invgrad_fwd, _resample_invgrad_bwd)
 
 
+def _interp_last_zero(v, pos):
+    """1-D linear interpolation along the LAST axis at fractional positions.
+
+    Same per-axis semantics as ``map_coordinates(order=1, mode='constant',
+    cval=0)``: out-of-range positions contribute zero. ``pos`` has the
+    output shape (leading axes broadcast against ``v``'s leading axes).
+    """
+    n = v.shape[-1]
+    lo = jnp.floor(pos)
+    f = pos - lo
+    w0 = (1.0 - f) * ((lo >= 0) & (lo <= n - 1))
+    w1 = f * ((lo >= -1) & (lo <= n - 2))
+    li = jnp.clip(lo.astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(li + 1, 0, n - 1)
+    shape = jnp.broadcast_shapes(v.shape[:-1], pos.shape[:-1])
+    vb = jnp.broadcast_to(v, shape + v.shape[-1:])
+    li = jnp.broadcast_to(li, shape + pos.shape[-1:])
+    hi = jnp.broadcast_to(hi, shape + pos.shape[-1:])
+    v0 = jnp.take_along_axis(vb, li, axis=-1)
+    v1 = jnp.take_along_axis(vb, hi, axis=-1)
+    return v0 * w0 + v1 * w1
+
+
+@jax.custom_vjp
+def _interp_last_invgrad(v, pos, inv_pos, inv_jac):
+    """:func:`_interp_last_zero` with the 1-D inverse-map gather adjoint:
+    the cotangent is interpolated back through ``inv_pos`` (positions of
+    every INPUT sample in output index space) and scaled by the 1-D
+    Jacobian — a gather instead of XLA's derived scatter-add."""
+    return _interp_last_zero(v, pos)
+
+
+def _interp_last_invgrad_fwd(v, pos, inv_pos, inv_jac):
+    return _interp_last_zero(v, pos), (pos, inv_pos, inv_jac)
+
+
+def _interp_last_invgrad_bwd(res, g):
+    pos, inv_pos, inv_jac = res
+    gv = _interp_last_zero(g, inv_pos) * inv_jac
+    return (gv, jnp.zeros_like(pos), jnp.zeros_like(inv_pos),
+            jnp.zeros_like(inv_jac))
+
+
+_interp_last_invgrad.defvjp(_interp_last_invgrad_fwd, _interp_last_invgrad_bwd)
+
+
+def _banded_interp_matrix(pos, n_src):
+    """(..., M, n_src) linear-interpolation matrix rows for absolute source
+    positions ``pos`` (..., M), zero fill outside — the matmul form of
+    :func:`_interp_last_zero` (pair to ops.rotate._shear_mats)."""
+    lo = jnp.floor(pos)
+    f = pos - lo
+    w0 = (1.0 - f) * ((lo >= 0) & (lo <= n_src - 1))
+    w1 = f * ((lo >= -1) & (lo <= n_src - 2))
+    u = jnp.arange(n_src, dtype=jnp.float32)
+    m0 = (u == lo[..., None]).astype(jnp.float32)
+    m1 = (u == lo[..., None] + 1.0).astype(jnp.float32)
+    return w0[..., None] * m0 + w1[..., None] * m1
+
+
+def cartesian_to_spherical_separable(vol, r0_px, d_theta, d_phi,
+                                     grad="exact"):
+    """Cartesian->spherical resample as FIVE banded-matmul passes.
+
+    TPU-native replacement for the direct trilinear 3-D gather, whose
+    element-random accesses run ~10x below the gather roofline on TPU and
+    whose XLA adjoint is a scatter-add (and whose take_along_axis
+    formulation measures ~0.8 s per pass at 256^3 — minor-axis gathers
+    are no better). Catmull-Smith-style separation, with each 1-D pass
+    depending on a SINGLE parameter so it becomes a batched banded-matrix
+    einsum on the MXU (31 ms per pass at 256^3 x 5 measured):
+
+      P1a  z pass, per x:   sample z at sqrt((sigma+R0)^2 - x^2) - R0
+      P1b  sigma pass, per y: sample at sqrt((rho+R0)^2 - y^2) - R0
+           (composition: z = sqrt(r^2 - x^2 - y^2) - R0 — sphere slicing)
+      P2   x -> theta, per rho: sample x at r sin(theta)
+      P3a  y pass, per theta:   sample y at y' cos(theta)
+      P3b  y' -> phi, per rho:  sample y' at r sin(phi)
+           (composition: y = r cos(theta) sin(phi))
+
+    The adjoint of every pass is the transposed einsum — EXACT, no
+    scatter, no inverse-map approximation (``grad`` is accepted for API
+    compatibility and ignored). Matches the direct trilinear warp to
+    O(h^2) cross-terms (multi-pass interpolation smoothing). ``r0_px``
+    (source distance in pixels) may be a traced scalar — all geometry
+    tables are computed on device from it, so nothing large is baked into
+    the compiled program. Output layout (phi, theta, r) matches
+    :func:`_spherical_sample_coords`'s transpose convention.
+    """
+    del grad
+    s0, s1, s2 = vol.shape
+    theta_mid = (s0 - 1) / 2.0
+    phi_mid = (s1 - 1) / 2.0
+    r0_px = jnp.asarray(r0_px, jnp.float32)
+    xx = (jnp.arange(s0, dtype=jnp.float32) - theta_mid)      # x/h
+    yy = (jnp.arange(s1, dtype=jnp.float32) - phi_mid)        # y/h
+    rr = jnp.arange(s2, dtype=jnp.float32) + r0_px            # r/h
+    theta = (jnp.arange(s0, dtype=jnp.float32) - theta_mid) * d_theta
+    phi = (jnp.arange(s1, dtype=jnp.float32) - phi_mid) * d_phi
+    from .rotate import _resolve_shear_precision
+    prec = _resolve_shear_precision()
+
+    # P1a: along z, per x — positions sqrt((sigma+R0)^2 - x^2) - R0
+    pos_a = jnp.sqrt(jnp.maximum(
+        rr[None, :] ** 2 - xx[:, None] ** 2, 0.0)) - r0_px     # (U0, R)
+    ba = _banded_interp_matrix(pos_a, s2)                      # (U0, R, U2)
+    v = jnp.einsum("xyz,xrz->xyr", vol, ba, precision=prec)
+    # P1b: along sigma, per y — positions sqrt((rho+R0)^2 - y^2) - R0
+    pos_b = jnp.sqrt(jnp.maximum(
+        rr[None, :] ** 2 - yy[:, None] ** 2, 0.0)) - r0_px     # (U1, R)
+    bb = _banded_interp_matrix(pos_b, s2)                      # (U1, R, R)
+    v = jnp.einsum("xys,yrs->xyr", v, bb, precision=prec)
+    # P2: along x, per rho — positions r sin(theta) + mid
+    pos_x = rr[:, None] * jnp.sin(theta)[None, :] + theta_mid  # (R, T)
+    bx = _banded_interp_matrix(pos_x, s0)                      # (R, T, U0)
+    v = jnp.einsum("xyr,rtx->tyr", v, bx, precision=prec)
+    # P3a: along y, per theta — positions y'_c cos(theta) + mid
+    pos_c = yy[None, :] * jnp.cos(theta)[:, None] + phi_mid    # (T, P')
+    bc = _banded_interp_matrix(pos_c, s1)                      # (T, P', U1)
+    v = jnp.einsum("tyr,tpy->tpr", v, bc, precision=prec)
+    # P3b: along y', per rho — positions r sin(phi) + mid
+    pos_d = rr[:, None] * jnp.sin(phi)[None, :] + phi_mid      # (R, Q)
+    bd = _banded_interp_matrix(pos_d, s1)                      # (R, Q, P')
+    v = jnp.einsum("tpr,rqp->tqr", v, bd, precision=prec)      # (theta, phi, r)
+    return jnp.transpose(v, (1, 0, 2))                         # (phi, theta, r)
+
+
 def cartesian_to_spherical(arr, dist_to_source_nm, psize_nm,
                            theta_max=PI / 18, phi_max=PI / 18):
     """Resample a (Y, X, Z) cartesian volume onto a (theta, phi, r) grid.
@@ -164,7 +291,7 @@ def _split_kernel(h):
 def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
                          det_psize_cm=None, theta_max=PI / 18,
                          phi_max=PI / 18, free_prop_cm=None,
-                         map_to_plane=True):
+                         map_to_plane=True, resample="auto"):
     """Precompute every host-side constant of the split spherical path.
 
     Returns a pytree of jnp arrays meant to be passed as a JIT ARGUMENT
@@ -173,6 +300,13 @@ def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
     compiled program (the (3, Y, X, Z) resample coordinates alone are
     201 MB at 256^3) — on RPC-compiled TPU backends that hits the
     remote-compile body cap. ``shape`` is (dim_y, dim_x, n_slice).
+
+    ``resample`` mirrors the propagator's ``resample_grad``: when the
+    SEPARABLE resample will be used ('separable'/'separable_exact', or
+    'auto' on a TPU backend), the direct-gather coordinate tables and the
+    3-D inverse map are skipped entirely — the separable path computes its
+    geometry on device from the ``r0_px`` scalar, saving ~470 MB of device
+    arrays and most of the host build time at 256^3.
     """
     from .fresnel import get_kernel_spherical
     dim_y, dim_x, n_slice = shape
@@ -182,22 +316,25 @@ def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
     lmbda_nm = 1240.0 / energy_ev
     probe_size = (dim_y, dim_x)
 
-    coords = _spherical_sample_coords((dim_y, dim_x, n_slice),
-                                      dist_to_source_nm, delta_nm,
-                                      theta_max, phi_max)
-    inv_coords, inv_jac = _spherical_inverse_coords(
-        (dim_y, dim_x, n_slice), dist_to_source_nm, delta_nm,
-        theta_max, phi_max)
+    if resample == "auto":
+        from .pallas_kernels import _on_tpu
+        resample = "separable" if _on_tpu() else "exact"
+    plan = {"r0_px": jnp.float32(dist_to_source_nm / delta_nm)}
+    if not resample.startswith("separable"):
+        coords = _spherical_sample_coords((dim_y, dim_x, n_slice),
+                                          dist_to_source_nm, delta_nm,
+                                          theta_max, phi_max)
+        inv_coords, inv_jac = _spherical_inverse_coords(
+            (dim_y, dim_x, n_slice), dist_to_source_nm, delta_nm,
+            theta_max, phi_max)
+        plan["coords"] = jnp.asarray(coords)
+        plan["inv_coords"] = jnp.asarray(inv_coords)
+        plan["inv_jac"] = jnp.asarray(inv_jac)
     ms = [_split_kernel(get_kernel_spherical(
         delta_nm, lmbda_nm, dist_to_source_nm + i * delta_nm,
         theta_max, phi_max, probe_size)) for i in range(n_slice)]
-    plan = {
-        "coords": jnp.asarray(coords),
-        "inv_coords": jnp.asarray(inv_coords),
-        "inv_jac": jnp.asarray(inv_jac),
-        "hr_z": jnp.asarray(np.stack([m[0] for m in ms])),
-        "hi_z": jnp.asarray(np.stack([m[1] for m in ms])),
-    }
+    plan["hr_z"] = jnp.asarray(np.stack([m[0] for m in ms]))
+    plan["hi_z"] = jnp.asarray(np.stack([m[1] for m in ms]))
     r_nm = dist_to_source_nm + delta_nm * n_slice
     if free_prop_cm is not None:
         fr, fi = _split_kernel(get_kernel_spherical(
@@ -337,14 +474,23 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
         plan = build_spherical_plan(
             (dim_y, dim_x, n_slice), energy_ev, psize_cm, dist_to_source_cm,
             det_psize_cm=det_psize_cm, theta_max=theta_max, phi_max=phi_max,
-            free_prop_cm=free_prop_cm, map_to_plane=map_to_plane)
+            free_prop_cm=free_prop_cm, map_to_plane=map_to_plane,
+            resample=resample_grad)
     if resample_grad == "auto":
-        # exact adjoint of the trilinear gather is a scatter-add — measured
-        # ~11 s per 256^3 minibatch-5 step on v5e; the inverse-map gather
-        # adjoint (O(h) discretization error) runs at gather speed
+        # the direct 3-D trilinear gather runs ~10x below the gather
+        # roofline on TPU (element-random access) and its XLA adjoint is a
+        # scatter-add (~11 s per 256^3 minibatch-5 step measured on v5e);
+        # the separable 3-pass form is contiguous + MXU with 1-D
+        # inverse-gather adjoints
         from .pallas_kernels import _on_tpu
-        resample_grad = "inverse" if _on_tpu() else "exact"
-    if resample_grad == "inverse" and "inv_coords" in plan:
+        resample_grad = "separable" if _on_tpu() else "exact"
+    if resample_grad.startswith("separable"):
+        d_theta = 2 * theta_max / (dim_y - 1)
+        d_phi = 2 * phi_max / (dim_x - 1)
+        g = "exact" if resample_grad == "separable_exact" else "inverse"
+        sph = jax.vmap(lambda v: cartesian_to_spherical_separable(
+            v, plan["r0_px"], d_theta, d_phi, grad=g))
+    elif resample_grad == "inverse" and "inv_coords" in plan:
         sph = jax.vmap(lambda v: _resample_invgrad(
             v, plan["coords"], plan["inv_coords"], plan["inv_jac"]))
     else:

@@ -324,7 +324,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         if eff_forward == "spherical":
             fwd_kwargs = {k: kwargs[k] for k in
                           ("dist_to_source_cm", "det_psize_cm",
-                           "theta_max", "phi_max") if k in kwargs}
+                           "theta_max", "phi_max", "resample_grad")
+                          if k in kwargs}
         # 'auto': use the split-complex forward when the backend rejects
         # complex64 (the fresnel AND conv/tiled paths have split twins, so
         # the headline distributed propagator can drive a reconstruction on
@@ -354,7 +355,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                 det_psize_cm=fwd_kwargs["det_psize_cm"],
                 theta_max=fwd_kwargs.get("theta_max", 0.17453),
                 phi_max=fwd_kwargs.get("phi_max", 0.17453),
-                free_prop_cm=free_prop_cm)
+                free_prop_cm=free_prop_cm,
+                resample=kwargs.get("resample_grad", "auto"))
         # remat='auto': run the O(1)-activation invertible VJP (fused Pallas
         # sweeps on TPU) while the predicted backward error amplification
         # e^{2 k sum_z max beta_z} stays below ``invertible_amp_limit``,
