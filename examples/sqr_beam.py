@@ -5,7 +5,8 @@ with simulation/rect.py): a 2 m x 2 m square aperture, 0.5 um light, propagated
 to z = 1000/2000/4000/20000 m with both the transfer-function (TF) and
 impulse-response (IR) single-distance propagators.
 
-The point of the demo is the sampling regimes (see docs/wave_prop_overview.md):
+The point of the demo is the sampling regimes (see
+docs/wave_propagation_overview.md):
 at the critical distance z_crit = step * L / wavel both methods agree; below it
 TF is accurate and IR aliases; above it IR is accurate and TF wraps. The demo
 prints the TF/IR midline disagreement at each z and saves cross-section plots
