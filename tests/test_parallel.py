@@ -147,3 +147,33 @@ def test_profiler_trace_written(tmp_path):
     for root, _, files in os.walk(prof_dir):
         found += files
     assert found, "no profiler trace files written"
+
+
+def test_data_parallel_point_probe_matches_serial():
+    """DP reconstruction through the cone-beam (spherical) forward matches
+    the serial run — the separable-resample path is plain per-volume
+    einsums, so the data axis shards it like any other forward."""
+    from beyond_dof_tpu.ops.spherical import multislice_propagate_spherical
+    from beyond_dof_tpu.constants import PI
+
+    n, dist = 16, 3.75e-6
+    gd, gb = adhesin_phantom(n)
+    data = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((n, n), np.complex64), 800, 1e-7,
+        dist_to_source_cm=dist, det_psize_cm=2e-7, theta_max=PI / 15,
+        phi_max=PI / 15, map_to_plane=False))
+    data = np.tile(data, (8, 1, 1))
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0,
+                  alpha_b=0, gamma=0, energy_ev=800, psize_cm=1e-7,
+                  shrink_cycle=None, save_outputs=False, verbose=False,
+                  seed=0, random_theta=False, probe_type="point",
+                  split_complex=True, dist_to_source_cm=dist,
+                  det_psize_cm=2e-7, theta_max=PI / 15, phi_max=PI / 15,
+                  resample_grad="separable")
+    d1, b1, info1 = reconstruct_fullfield(minibatch_size=4,
+                                          learning_rate=1e-7, **common)
+    mesh = make_mesh(n_data=2, tile_yx=(1, 1))
+    d2, b2, info2 = reconstruct_fullfield(minibatch_size=2, mesh=mesh,
+                                          learning_rate=0.5e-7, **common)
+    assert np.allclose(info1["loss"], info2["loss"], rtol=1e-3)
+    assert np.allclose(d1, d2, atol=1e-7)
