@@ -70,7 +70,12 @@ FULLFIELD_PRESETS = {
                         "forward_algorithm": "fresnel"},
     },
     "2d": {
-        "phantom": {"kind": "cone_foam", "size": 512, "flat": True},
+        # flat = projected object: delta/beta hold the whole sample's
+        # optical thickness in one 1-voxel slice (phase ~1 rad at 5 keV,
+        # the regime the reference's measured 2D datasets live in and its
+        # lr 2e-4/4e-3 presets were tuned for)
+        "phantom": {"kind": "cone_foam", "size": 512, "flat": True,
+                    "delta": 4e-2, "beta": 2.4e-3},
         "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
                      "free_prop_cm": 1e-4, "n_theta": 1, "theta_end": 0},
         "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
@@ -80,10 +85,11 @@ FULLFIELD_PRESETS = {
                         "n_epochs_mask_release": 1000, "shrink_cycle": 5,
                         "free_prop_cm": 1e-4, "multiscale_level": 1,
                         "probe_type": "plane", "object_type": "phase_only",
-                        "forward_algorithm": "fresnel"},
+                        "forward_algorithm": "fresnel", "obj_dim_z": 1},
     },
     "2d_cell": {
-        "phantom": {"kind": "cone_foam", "size": 1024, "flat": True},
+        "phantom": {"kind": "cone_foam", "size": 1024, "flat": True,
+                    "delta": 4e-2, "beta": 2.4e-3},
         "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
                      "free_prop_cm": 0.00040322580645161285, "n_theta": 1,
                      "theta_end": 0},
@@ -95,7 +101,7 @@ FULLFIELD_PRESETS = {
                         "free_prop_cm": 0.00040322580645161285,
                         "multiscale_level": 1, "probe_type": "plane",
                         "object_type": "phase_only",
-                        "forward_algorithm": "fresnel"},
+                        "forward_algorithm": "fresnel", "obj_dim_z": 1},
     },
     "cone_noisy": {
         "phantom": {"kind": "cone_foam", "size": 256},
@@ -260,14 +266,20 @@ def make_phantom(spec):
     from ..models.phantom import adhesin_phantom, cone_foam_phantom
     kind = spec["kind"]
     size = spec["size"]
+    flat = spec.get("flat")
     if kind == "adhesin":
         gd, gb = adhesin_phantom(size)
     elif kind == "cone_foam":
-        gd, gb = cone_foam_phantom(size)
+        # flat (single-slice 2D, ref params_2d / 2d_cell): rasterize only
+        # the mid slab — identical values, seconds instead of ~13 min of
+        # host time at 1024
+        slab = (size // 2, size // 2 + 1) if flat else None
+        kw = {k: spec[k] for k in ("delta", "beta") if k in spec}
+        gd, gb = cone_foam_phantom(size, z_slab=slab, **kw)
+        return gd, gb
     else:
         raise ValueError(kind)
-    if spec.get("flat"):
-        # single-slice 2D workload (ref params_2d / 2d_cell)
+    if flat:
         gd = gd[:, :, size // 2: size // 2 + 1]
         gb = gb[:, :, size // 2: size // 2 + 1]
     return gd, gb

@@ -117,8 +117,13 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
         # be a 4-byte-run relayout copy costing more than the rotation
         # itself (see ops.rotate.rotate_volume_zfirst)
         if rotation == "auto":
+            # shear rotation needs a square (X, Z) plane (its quadrant
+            # reduction transposes those axes) — flat 2D objects (Z=1,
+            # ref params_2d/2d_cell) take the bilinear path, where the
+            # identity rotation is exact anyway
             from ..ops.pallas_kernels import _on_tpu
-            rotation = "shear" if _on_tpu() else "bilinear"
+            square_xz = obj_delta.shape[1] == obj_delta.shape[2]
+            rotation = "shear" if (_on_tpu() and square_xz) else "bilinear"
         if rotation == "shear":
             from ..ops.rotate import rotate_pair_zfirst_shear3
             # lax.map (not vmap): the quadrant reduction branches on the

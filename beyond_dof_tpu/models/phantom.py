@@ -59,7 +59,8 @@ def generate_ring(shape, radius, anti_aliasing=5):
 
 
 def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0,
-                      top_radius_frac=0.18, bottom_radius_frac=0.42, smooth=1.0):
+                      top_radius_frac=0.18, bottom_radius_frac=0.42, smooth=1.0,
+                      z_slab=None):
     """Truncated-cone "foam" phantom with spherical voids.
 
     Reconstructs the geometry of the reference's cone_256_foam workload
@@ -68,12 +69,25 @@ def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0
     uniform (delta, beta), hollowed by random non-overlapping bubbles.
 
     Returns ``(grid_delta, grid_beta)`` of shape (size, size, size), float32.
+
+    ``z_slab=(lo, hi)`` rasterizes only z in [lo, hi) (same rng sequence,
+    padded for the smoothing support, then cropped) — the flat 2D presets
+    need one mid slice of a 1024^3 phantom, and the full-volume build costs
+    ~13 min of host time at that size where the slab is seconds.
     """
     rng = np.random.RandomState(seed)
     n = size
+    pad = int(np.ceil(4 * smooth)) + 1 if smooth else 0
+    if z_slab is None:
+        zlo_p, zhi_p, crop = 0, n, 0
+    else:
+        zlo_p = max(0, z_slab[0] - pad)
+        zhi_p = min(n, z_slab[1] + pad)
+        crop = z_slab[0] - zlo_p
+    nz = zhi_p - zlo_p
     y = np.arange(n)[:, None, None]
     x = np.arange(n)[None, :, None] - (n - 1) / 2.0
-    z = np.arange(n)[None, None, :] - (n - 1) / 2.0
+    z = (np.arange(zlo_p, zhi_p))[None, None, :] - (n - 1) / 2.0
     frac = y / (n - 1.0)
     radius = (top_radius_frac + (bottom_radius_frac - top_radius_frac) * frac) * n
     body = ((x ** 2 + z ** 2) <= radius ** 2).astype(np.float64)
@@ -101,14 +115,18 @@ def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0
         cz = (n - 1) / 2.0 + rho * np.sin(ang)
         y0, y1 = max(0, int(cy - r)), min(n, int(cy + r) + 2)
         x0, x1 = max(0, int(cx - r)), min(n, int(cx + r) + 2)
-        z0, z1 = max(0, int(cz - r)), min(n, int(cz + r) + 2)
+        z0, z1 = max(zlo_p, int(cz - r)), min(zhi_p, int(cz + r) + 2)
+        if z1 <= z0:
+            continue
         bub = ((ax[y0:y1, None, None] - cy) ** 2
                + (ax[None, x0:x1, None] - cx) ** 2
                + (ax[None, None, z0:z1] - cz) ** 2 <= r ** 2)
-        voids[y0:y1, x0:x1, z0:z1] += bub
+        voids[y0:y1, x0:x1, z0 - zlo_p:z1 - zlo_p] += bub
     body = body * (voids == 0)
     if smooth:
         body = gaussian_filter(body.astype(np.float64), smooth)
+    if z_slab is not None:
+        body = body[:, :, crop:crop + (z_slab[1] - z_slab[0])]
     return (body * delta).astype(np.float32), (body * beta).astype(np.float32)
 
 

@@ -115,8 +115,10 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
     """
     from ..ops.multislice import multislice_propagate_batch_split
     if rotation == "auto":
+        # shear rotation needs a square (X, Z) plane (quadrant transpose)
         from ..ops.pallas_kernels import _on_tpu
-        rotation = "shear" if _on_tpu() else "bilinear"
+        square_xz = obj_delta.shape[1] == obj_delta.shape[2]
+        rotation = "shear" if (_on_tpu() and square_xz) else "bilinear"
     if rotation == "shear":
         from ..ops.rotate import rotate_volume_shear3
         both = jnp.concatenate([obj_delta, obj_beta], axis=0)

@@ -363,6 +363,11 @@ def rotate_volume_shear3(vol, theta, zfirst=False):
     einsums) and in ``theta`` (the fractional interpolation weights are
     smooth in theta almost everywhere).
     """
+    if vol.shape[1] != vol.shape[2]:
+        raise ValueError(
+            "rotate_volume_shear3 needs a square (X, Z) plane, got %r — "
+            "use rotate_volume (bilinear) for non-cubic volumes"
+            % (vol.shape,))
     theta = jnp.asarray(theta, jnp.float32)
     q = jnp.round(theta / (np.pi / 2.0))
     r = theta - q * (np.pi / 2.0)

@@ -196,6 +196,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           probe_learning_rate=1e-3, pupil_function=None,
                           theta_downsample=None, forward_algorithm="fresnel",
                           random_theta=True, object_type="normal",
+                          obj_dim_z=None,
                           finite_support_mask=None, mesh=None, seed=None,
                           checkpoint_dir=None, checkpoint_every=0,
                           profile_epochs=(), save_outputs=True,
@@ -268,8 +269,13 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         prj_mag_all = np.abs(prj).astype(np.float32)
         dim_y, dim_x = prj.shape[-2:]
 
+        # default object depth = plane width (cube), like the reference's
+        # mask files for its 3D workloads; ``obj_dim_z`` overrides for the
+        # single-slice 2D workloads (the reference encodes this in the
+        # (H, W, 1) mask.tiff it reads back, ref fullfield.py:242-258)
         mask = _load_mask(finite_support_mask, save_path,
-                          (prj_0.shape[1], prj_0.shape[2], prj_0.shape[2]),
+                          (prj_0.shape[1], prj_0.shape[2],
+                           obj_dim_z or prj_0.shape[2]),
                           ds_level)
         dim_z = mask.shape[-1]
         obj_shape = (dim_y, dim_x, dim_z)

@@ -155,3 +155,29 @@ def test_no_complex_device_arrays_in_split_engine(tiny_dataset, monkeypatch):
     monkeypatch.setattr(jax, "device_put", spy)
     reconstruct_fullfield(split_complex=True, **_common(data))
     assert not seen, "complex device_put in split engine: %s" % seen
+
+
+def test_engine_2d_flat_object():
+    """Single-slice 2D workload (ref params_2d/2d_cell): obj_dim_z=1 keeps
+    the object flat, phase-only recon decreases the loss. The phantom's
+    delta holds the PROJECTED optical thickness (~1 rad at 5 keV), the
+    regime the reference's 2D presets were tuned for."""
+    import numpy as np
+    from beyond_dof_tpu.models.phantom import cone_foam_phantom
+    from beyond_dof_tpu.sim.acquire import create_fullfield_data
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+
+    n = 32
+    gd, gb = cone_foam_phantom(n, z_slab=(n // 2, n // 2 + 1),
+                               delta=4e-2, beta=2.4e-3)
+    data = create_fullfield_data(gd, gb, energy_ev=5000, psize_cm=1e-7,
+                                 free_prop_cm=1e-7 * n * n / 2,
+                                 n_theta=1, theta_end=0)
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=0, n_epochs=10, alpha_d=0, alpha_b=0,
+        gamma=1e-11, learning_rate=4e-3, energy_ev=5000, psize_cm=1e-7,
+        free_prop_cm=1e-7 * n * n / 2, minibatch_size=1, shrink_cycle=None,
+        object_type="phase_only", obj_dim_z=1, save_outputs=False,
+        verbose=False, seed=0)
+    assert d.shape == (n, n, 1)
+    assert info["loss"][-1] < 0.3 * info["loss"][0]
