@@ -1,0 +1,93 @@
+"""Generic closed-loop full-field artifact: simulate -> reconstruct -> FSC.
+
+Runs ANY full-field preset end to end with its own hyperparameters
+(ref reconstruct_fullfield.py:19-269) and scores the reconstruction
+against the phantom with the 3-D FSC and the 1/2-bit criterion.
+Complements the workload-specific scripts (closed_loop_adhesin.py,
+closed_loop_cone_pp.py, closed_loop_2d.py) for the cone_256 /
+cone_256_180 / cone_far / cone_noisy presets.
+
+Usage: python -u benchmarks/closed_loop_fullfield.py --preset cone_256
+           [--n-theta 500] [--out benchmarks/artifacts/<preset>]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0):
+    from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
+    from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
+                                            add_poisson_noise_fullfield)
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+    from beyond_dof_tpu.ops.quality import (fourier_shell_correlation,
+                                            half_bit_threshold)
+    from beyond_dof_tpu.utils.plots import plot_fsc
+
+    out = out or "benchmarks/artifacts/%s" % preset
+    os.makedirs(out, exist_ok=True)
+    p = FULLFIELD_PRESETS[preset]
+    gd, gb = make_phantom(p["phantom"])
+
+    sim = dict(p["simulate"])
+    n_photons = sim.pop("n_photons_total", None)
+    if n_theta:
+        sim["n_theta"] = n_theta
+    t0 = time.time()
+    # 50 rotated 256^3 volume pairs don't fit 16 GB HBM; 10 do
+    batch_size = 50 if gd.shape[0] <= 128 else 10
+    data = create_fullfield_data(gd, gb, batch_size=batch_size, **sim)
+    if n_photons:
+        n_sample_pixel = int(np.count_nonzero(gd > 1e-10))
+        data, mean_snr = add_poisson_noise_fullfield(
+            np.asarray(data), n_photons, n_sample_pixel)
+        print("Average SNR is {}.".format(mean_snr), flush=True)
+    t_sim = time.time() - t0
+
+    rec = dict(p["reconstruct"])
+    if n_epochs is not None:
+        rec["n_epochs"] = n_epochs
+    rec.update(output_folder=out, save_outputs=True, verbose=True, seed=seed)
+    t0 = time.time()
+    d, b, info = reconstruct_fullfield(data=data, **rec)
+    t_rec = time.time() - t0
+
+    radii, fsc = fourier_shell_correlation(d, gd)
+    fsc = np.asarray(fsc)[: len(radii)]
+    thr = half_bit_threshold(radii, d.shape)
+    above = fsc > thr
+    cross = int(np.argmin(above)) if not above.all() else len(radii)
+    plot_fsc(d, gd, save_path=os.path.join(out, "fsc"))
+    np.save(os.path.join(out, "fsc", "half_bit_threshold.npy"), thr)
+
+    result = {
+        "metric": "%s_fsc_half_bit_fraction" % preset,
+        "value": float(above.mean()),
+        "unit": "fraction of shells above 1/2-bit",
+        "resolution_frac_nyquist": float(radii[min(cross, len(radii) - 1)]
+                                         / radii[-1]),
+        "n_theta": sim.get("n_theta"), "sim_seconds": round(t_sim, 1),
+        "recon_seconds": round(t_rec, 1),
+        "final_loss": float(info["loss"][-1]),
+        "loss_first_last_per_level": {
+            str(k): [float(v["loss"][0]), float(v["loss"][-1])]
+            for k, v in info.get("per_level", {}).items() if v.get("loss")},
+        "out": out,
+    }
+    with open(os.path.join(out, "result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="cone_256")
+    ap.add_argument("--n-theta", type=int, default=None)
+    ap.add_argument("--n-epochs", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out)), flush=True)
