@@ -54,19 +54,49 @@ def create_fullfield_data(grid_delta, grid_beta, energy_ev, psize_cm, free_prop_
 
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)
     data = np.empty((n_theta, img_dim[0], img_dim[1]), dtype=np.complex64)
+    # jit once and keep the grids device-resident: the un-jitted loop ran
+    # every op eagerly (one RPC round trip per op on relay-attached TPUs —
+    # ~17 min for 500 angles at 256^3 vs ~1 min jitted) and re-uploaded
+    # the volumes every batch
+    gd_dev = jnp.asarray(grid_delta)
+    gb_dev = jnp.asarray(grid_beta)
+    if use_split:
+        import jax
+
+        @jax.jit
+        def _fwd_split(gd, gb, th):
+            # forward-only simulation: the XLA split path matches the fused
+            # Pallas kernel's steady speed here (80 ms per 10-volume batch
+            # at 256^3) while compiling in 306 s instead of 517 s — and the
+            # whole 500-angle sweep takes ~4 s post-compile
+            return rotate_and_project_batch_split(
+                gd, gb, th, p_re, p_im, energy_ev, psize_cm,
+                free_prop_cm=free_prop_cm, propagate_last=propagate_last,
+                remat=False, use_pallas=False)
+    else:
+        import jax
+
+        @jax.jit
+        def _fwd(gd, gb, th):
+            return rotate_and_project_batch(
+                gd, gb, th, probe, energy_ev, psize_cm,
+                free_prop_cm=free_prop_cm, propagate_last=propagate_last,
+                remat=False)
     for i0 in range(0, n_theta, batch_size):
         th = jnp.asarray(theta_ls[i0:i0 + batch_size], jnp.float32)
+        if th.shape[0] != batch_size:
+            # ragged tail: pad to the compiled batch shape, crop after
+            pad = batch_size - th.shape[0]
+            th_c = jnp.concatenate([th, jnp.zeros((pad,), jnp.float32)])
+        else:
+            pad, th_c = 0, th
         if use_split:
-            re, im = rotate_and_project_batch_split(
-                jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, p_re,
-                p_im, energy_ev, psize_cm, free_prop_cm=free_prop_cm,
-                propagate_last=propagate_last, remat=False)
+            re, im = _fwd_split(gd_dev, gb_dev, th_c)
             out = np.asarray(re) + 1j * np.asarray(im)
         else:
-            out = np.asarray(rotate_and_project_batch(
-                jnp.asarray(grid_delta), jnp.asarray(grid_beta), th, probe,
-                energy_ev, psize_cm, free_prop_cm=free_prop_cm,
-                propagate_last=propagate_last, remat=False))
+            out = np.asarray(_fwd(gd_dev, gb_dev, th_c))
+        if pad:
+            out = out[: batch_size - pad]
         data[i0:i0 + th.shape[0]] = out
         if monitor_output and save_folder is not None:
             tiff.write_tiff(np.abs(np.asarray(out)),
