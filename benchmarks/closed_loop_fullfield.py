@@ -38,9 +38,15 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0):
     if n_theta:
         sim["n_theta"] = n_theta
     t0 = time.time()
-    # 50 rotated 256^3 volume pairs don't fit 16 GB HBM; 10 do
-    batch_size = 50 if gd.shape[0] <= 128 else 10
-    data = create_fullfield_data(gd, gb, batch_size=batch_size, **sim)
+    cache = os.path.join(out, "sim_cache_%d.npy" % sim.get("n_theta", 0))
+    if os.path.exists(cache):
+        data = np.load(cache)
+        print("sim cache hit: %s" % cache, flush=True)
+    else:
+        # 50 rotated 256^3 volume pairs don't fit 16 GB HBM; 10 do
+        batch_size = 50 if gd.shape[0] <= 128 else 10
+        data = create_fullfield_data(gd, gb, batch_size=batch_size, **sim)
+        np.save(cache, np.asarray(data))
     if n_photons:
         n_sample_pixel = int(np.count_nonzero(gd > 1e-10))
         data, mean_snr = add_poisson_noise_fullfield(

@@ -98,6 +98,25 @@ def downsample_2x_projections(prj, ds_level):
     return prj
 
 
+def downsample_projections_farfield(prj, ds_level):
+    """Multiscale downsampling for FAR-FIELD (Fourier-plane) data.
+
+    A ds-downsampled object's far field is the CENTER CROP of the full
+    fftshifted pattern scaled by 1/ds^2 (the coarse DFT sums ds^2 fewer
+    samples, each a block average) — strided real-space subsampling, which
+    the reference applies to every detector geometry
+    (ref fullfield.py:213-216), misscales far-field magnitudes by ~ds^2 at
+    the coarse levels and aliases the pattern, which is why its cone_far
+    preset cannot actually converge through multiscale. Deliberate delta
+    (see PARITY.md)."""
+    if ds_level > 1:
+        n_y, n_x = prj.shape[-2:]
+        cy, cx = n_y // ds_level, n_x // ds_level
+        y0, x0 = (n_y - cy) // 2, (n_x - cx) // 2
+        return prj[:, y0:y0 + cy, x0:x0 + cx] / float(ds_level ** 2)
+    return prj
+
+
 def preprocess(dat, blur=None):
     """Transmission -> attenuation preprocessing (ref util.py:263-274)."""
     dat = np.array(dat)

@@ -265,7 +265,13 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         ds_level = 2 ** level
         _log("Multiscale downsampling level: {}".format(ds_level))
 
-        prj = downsample_2x_projections(prj_0, ds_level)
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            # Fourier-plane data: coarse level = center crop / ds^2, not a
+            # real-space subsample (ops.image.downsample_projections_farfield)
+            from ..ops.image import downsample_projections_farfield
+            prj = downsample_projections_farfield(prj_0, ds_level)
+        else:
+            prj = downsample_2x_projections(prj_0, ds_level)
         prj_mag_all = np.abs(prj).astype(np.float32)
         dim_y, dim_x = prj.shape[-2:]
 

@@ -127,3 +127,29 @@ def test_create_data_split_fallback_matches(monkeypatch):
                                     free_prop_cm=1e-4, n_theta=3, batch_size=3,
                                     theta_end=2 * np.pi)
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_farfield_multiscale_downsampling_consistent():
+    """Center crop / ds^2 of the full far field ~= the far field of the
+    2x-downsampled object (the multiscale relation for free_prop='inf'
+    data; strided subsampling has no such consistency)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from beyond_dof_tpu.ops.image import downsample_projections_farfield
+
+    rng = np.random.RandomState(0)
+    n = 32
+    y = np.linspace(-1, 1, n)
+    obj = np.exp(-(y[:, None] ** 2 + y[None, :] ** 2) * 6
+                 ).astype(np.complex64)          # smooth, band-limited
+    far = np.fft.fftshift(np.fft.fft2(obj))[None]
+    coarse_data = np.asarray(downsample_projections_farfield(far, 2))[0]
+    obj_ds = 0.25 * (obj[::2, ::2] + obj[1::2, ::2]
+                     + obj[::2, 1::2] + obj[1::2, 1::2])
+    far_ds = np.fft.fftshift(np.fft.fft2(obj_ds))
+    # magnitudes (what the engine's loss consumes): the residual complex
+    # difference is a half-pixel linear phase from the block-average grid
+    # offset, invisible to |.|
+    scale = np.abs(far_ds).max()
+    err = np.abs(np.abs(coarse_data) - np.abs(far_ds)).max() / scale
+    assert err < 0.01, err
