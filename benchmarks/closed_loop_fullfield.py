@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0):
+def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
+        support_mask=None):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -32,6 +33,15 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0):
     os.makedirs(out, exist_ok=True)
     p = FULLFIELD_PRESETS[preset]
     gd, gb = make_phantom(p["phantom"])
+
+    mask = None
+    if support_mask == "cone":
+        # the truncated-cone envelope mask the reference workload hand-tunes
+        # (ref create_support_mask.py:10-20) — essential in the far-field
+        # preset, whose Fourier-magnitude loss cannot see a Y-translation
+        # of the object (see benchmarks/diag_cone_far.py)
+        from beyond_dof_tpu.models.phantom import cone_support_mask
+        mask = cone_support_mask(gd.shape[0])
 
     sim = dict(p["simulate"])
     n_photons = sim.pop("n_photons_total", None)
@@ -58,6 +68,8 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0):
     if n_epochs is not None:
         rec["n_epochs"] = n_epochs
     rec.update(output_folder=out, save_outputs=True, verbose=True, seed=seed)
+    if mask is not None:
+        rec["finite_support_mask"] = mask
     t0 = time.time()
     d, b, info = reconstruct_fullfield(data=data, **rec)
     t_rec = time.time() - t0
@@ -95,5 +107,9 @@ if __name__ == "__main__":
     ap.add_argument("--n-theta", type=int, default=None)
     ap.add_argument("--n-epochs", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--support-mask", default=None, choices=[None, "cone"],
+                    help="analytic finite-support mask (ref "
+                         "create_support_mask.py workflow)")
     a = ap.parse_args()
-    print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out)), flush=True)
+    print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
+                         support_mask=a.support_mask)), flush=True)

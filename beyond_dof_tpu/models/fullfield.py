@@ -93,7 +93,7 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
                                    propagate_last=True, remat=True,
                                    forward_algorithm="fresnel",
                                    kernel_size=17, tile_mesh=None,
-                                   use_pallas=None, rotation_grad="tf",
+                                   use_pallas=None, rotation_grad=None,
                                    rotation="auto", **spherical_kwargs):
     """Split-complex forward model: returns (re, im) wavefield pair.
 
@@ -120,10 +120,17 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             # shear rotation needs a square (X, Z) plane (its quadrant
             # reduction transposes those axes) — flat 2D objects (Z=1,
             # ref params_2d/2d_cell) take the bilinear path, where the
-            # identity rotation is exact anyway
+            # identity rotation is exact anyway. An EXPLICIT rotation_grad
+            # request also forces bilinear: the shear path has its own
+            # (exact transposed-matmul) adjoint and would silently override
+            # the caller's chosen gradient convention.
             from ..ops.pallas_kernels import _on_tpu
             square_xz = obj_delta.shape[1] == obj_delta.shape[2]
-            rotation = "shear" if (_on_tpu() and square_xz) else "bilinear"
+            rotation = ("shear" if (_on_tpu() and square_xz
+                                    and rotation_grad is None)
+                        else "bilinear")
+        if rotation_grad is None:
+            rotation_grad = "tf"
         if rotation == "shear":
             from ..ops.rotate import rotate_pair_zfirst_shear3
             # lax.map (not vmap): the quadrant reduction branches on the

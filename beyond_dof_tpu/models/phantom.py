@@ -130,6 +130,36 @@ def cone_foam_phantom(size=64, delta=8.7e-7, beta=5.1e-8, n_bubbles=None, seed=0
     return (body * delta).astype(np.float32), (body * beta).astype(np.float32)
 
 
+def cone_support_mask(size, top_radius_frac=0.18, bottom_radius_frac=0.42,
+                      margin_px=4, smooth=1.0):
+    """Finite-support mask for the truncated-cone workloads.
+
+    Analytic per-slice circular ramp enclosing :func:`cone_foam_phantom`'s
+    envelope with a ``margin_px`` dilation — the same construction the
+    reference hand-tunes from a Paganin bootstrap reconstruction
+    (ref create_support_mask.py:10-20: per-slice ``tomopy.circ_mask`` with a
+    linearly ramped ratio, zeroed end caps, gaussian blur, re-threshold).
+    Essential for the far-field (CDI-regime) preset: Fourier magnitudes are
+    blind to transverse translation and to the conjugate twin, and a support
+    mask is the standard constraint that pins that gauge.
+    """
+    n = size
+    y = np.arange(n)[:, None, None]
+    x = np.arange(n)[None, :, None] - (n - 1) / 2.0
+    z = np.arange(n)[None, None, :] - (n - 1) / 2.0
+    frac = y / (n - 1.0)
+    radius = ((top_radius_frac + (bottom_radius_frac - top_radius_frac) * frac)
+              * n + margin_px)
+    mask = ((x ** 2 + z ** 2) <= radius ** 2).astype(np.float64)
+    vmargin = max(0, int(0.08 * n) - margin_px)
+    mask[:vmargin] = 0
+    mask[n - vmargin:] = 0
+    if smooth:
+        mask = gaussian_filter(mask, smooth)
+        mask = (mask > 1e-8).astype(np.float64)
+    return mask.astype(np.float32)
+
+
 def adhesin_phantom(size=64, delta=8.7e-7, beta=5.1e-8, seed=0, n_lobes=5, smooth=1.5):
     """Adhesin-protein-like blob phantom (64^3 class workload).
 

@@ -301,8 +301,15 @@ def set_shear_precision(spec):
 # lets benchmarks A/B the shear matmul precision without code changes.
 _env_spec = os.environ.get("BDT_SHEAR_PRECISION")
 if _env_spec:
-    set_shear_precision(tuple(_env_spec.split(","))
-                        if "," in _env_spec else _env_spec)
+    try:
+        set_shear_precision(tuple(_env_spec.split(","))
+                            if "," in _env_spec else _env_spec)
+    except AttributeError:
+        raise ValueError(
+            "BDT_SHEAR_PRECISION=%r is not a valid precision spec; accepted "
+            "values are 'auto', 'default', 'high', 'highest', or a "
+            "comma-separated (data, weights) pair of those." % (_env_spec,)
+        ) from None
 
 
 def _shear_mats(shift, n):

@@ -121,56 +121,11 @@ def _resample_invgrad_bwd(res, g):
 _resample_invgrad.defvjp(_resample_invgrad_fwd, _resample_invgrad_bwd)
 
 
-def _interp_last_zero(v, pos):
-    """1-D linear interpolation along the LAST axis at fractional positions.
-
-    Same per-axis semantics as ``map_coordinates(order=1, mode='constant',
-    cval=0)``: out-of-range positions contribute zero. ``pos`` has the
-    output shape (leading axes broadcast against ``v``'s leading axes).
-    """
-    n = v.shape[-1]
-    lo = jnp.floor(pos)
-    f = pos - lo
-    w0 = (1.0 - f) * ((lo >= 0) & (lo <= n - 1))
-    w1 = f * ((lo >= -1) & (lo <= n - 2))
-    li = jnp.clip(lo.astype(jnp.int32), 0, n - 1)
-    hi = jnp.clip(li + 1, 0, n - 1)
-    shape = jnp.broadcast_shapes(v.shape[:-1], pos.shape[:-1])
-    vb = jnp.broadcast_to(v, shape + v.shape[-1:])
-    li = jnp.broadcast_to(li, shape + pos.shape[-1:])
-    hi = jnp.broadcast_to(hi, shape + pos.shape[-1:])
-    v0 = jnp.take_along_axis(vb, li, axis=-1)
-    v1 = jnp.take_along_axis(vb, hi, axis=-1)
-    return v0 * w0 + v1 * w1
-
-
-@jax.custom_vjp
-def _interp_last_invgrad(v, pos, inv_pos, inv_jac):
-    """:func:`_interp_last_zero` with the 1-D inverse-map gather adjoint:
-    the cotangent is interpolated back through ``inv_pos`` (positions of
-    every INPUT sample in output index space) and scaled by the 1-D
-    Jacobian — a gather instead of XLA's derived scatter-add."""
-    return _interp_last_zero(v, pos)
-
-
-def _interp_last_invgrad_fwd(v, pos, inv_pos, inv_jac):
-    return _interp_last_zero(v, pos), (pos, inv_pos, inv_jac)
-
-
-def _interp_last_invgrad_bwd(res, g):
-    pos, inv_pos, inv_jac = res
-    gv = _interp_last_zero(g, inv_pos) * inv_jac
-    return (gv, jnp.zeros_like(pos), jnp.zeros_like(inv_pos),
-            jnp.zeros_like(inv_jac))
-
-
-_interp_last_invgrad.defvjp(_interp_last_invgrad_fwd, _interp_last_invgrad_bwd)
-
-
 def _banded_interp_matrix(pos, n_src):
     """(..., M, n_src) linear-interpolation matrix rows for absolute source
-    positions ``pos`` (..., M), zero fill outside — the matmul form of
-    :func:`_interp_last_zero` (pair to ops.rotate._shear_mats)."""
+    positions ``pos`` (..., M), zero fill outside — 1-D linear interpolation
+    with ``map_coordinates(order=1, mode='constant', cval=0)`` edge
+    semantics, in matmul form (pair to ops.rotate._shear_mats)."""
     lo = jnp.floor(pos)
     f = pos - lo
     w0 = (1.0 - f) * ((lo >= 0) & (lo <= n_src - 1))
@@ -181,8 +136,7 @@ def _banded_interp_matrix(pos, n_src):
     return w0[..., None] * m0 + w1[..., None] * m1
 
 
-def cartesian_to_spherical_separable(vol, r0_px, d_theta, d_phi,
-                                     grad="exact"):
+def cartesian_to_spherical_separable(vol, r0_px, d_theta, d_phi):
     """Cartesian->spherical resample as FIVE banded-matmul passes.
 
     TPU-native replacement for the direct trilinear 3-D gather, whose
@@ -202,15 +156,13 @@ def cartesian_to_spherical_separable(vol, r0_px, d_theta, d_phi,
            (composition: y = r cos(theta) sin(phi))
 
     The adjoint of every pass is the transposed einsum — EXACT, no
-    scatter, no inverse-map approximation (``grad`` is accepted for API
-    compatibility and ignored). Matches the direct trilinear warp to
+    scatter, no inverse-map approximation. Matches the direct trilinear warp to
     O(h^2) cross-terms (multi-pass interpolation smoothing). ``r0_px``
     (source distance in pixels) may be a traced scalar — all geometry
     tables are computed on device from it, so nothing large is baked into
     the compiled program. Output layout (phi, theta, r) matches
     :func:`_spherical_sample_coords`'s transpose convention.
     """
-    del grad
     s0, s1, s2 = vol.shape
     theta_mid = (s0 - 1) / 2.0
     phi_mid = (s1 - 1) / 2.0
@@ -485,11 +437,18 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
         from .pallas_kernels import _on_tpu
         resample_grad = "separable" if _on_tpu() else "exact"
     if resample_grad.startswith("separable"):
+        # 'separable_exact' is an accepted alias of 'separable' — the
+        # separable passes' adjoints are ALWAYS the exact transposed einsums
         d_theta = 2 * theta_max / (dim_y - 1)
         d_phi = 2 * phi_max / (dim_x - 1)
-        g = "exact" if resample_grad == "separable_exact" else "inverse"
         sph = jax.vmap(lambda v: cartesian_to_spherical_separable(
-            v, plan["r0_px"], d_theta, d_phi, grad=g))
+            v, plan["r0_px"], d_theta, d_phi))
+    elif "coords" not in plan:
+        raise ValueError(
+            "resample_grad=%r needs the direct-gather coordinate tables, but "
+            "this plan was built with resample='separable' (which skips them "
+            "to save ~470 MB at 256^3). Rebuild the plan with "
+            "build_spherical_plan(..., resample='exact')." % (resample_grad,))
     elif resample_grad == "inverse" and "inv_coords" in plan:
         sph = jax.vmap(lambda v: _resample_invgrad(
             v, plan["coords"], plan["inv_coords"], plan["inv_jac"]))

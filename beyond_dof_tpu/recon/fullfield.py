@@ -85,7 +85,7 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 optimize_probe, pupil_function, shrink_cycle,
                 n_epochs_mask_release, shrink_threshold, propagate_last, remat,
                 kernel_size=17, tile_mesh=None, forward_kwargs=None,
-                split_complex=False, rotation_grad="tf"):
+                split_complex=False, rotation_grad=None):
     """One fused train step (value_and_grad + Adam + projections + shrink-wrap)."""
     forward_kwargs = forward_kwargs or {}
 
@@ -205,7 +205,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           core_parallelization=True, verbose=True,
                           kernel_size=17, tile_mesh=None,
                           shard_object=None, split_complex="auto",
-                          rotation_grad="tf", rotation="auto",
+                          rotation_grad=None, rotation="auto",
                           epoch_in_one_call="auto", **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 

@@ -112,7 +112,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                              save_outputs=True, remat=True, verbose=True,
                              cpu_only=False, core_parallelization=True,
                              poisson_multiplier=2e6, stream=False, kernel_size=17,
-                             split_complex="auto", **kwargs):
+                             split_complex="auto", epoch_in_one_call="auto",
+                             **kwargs):
     """Ptychographic 3D reconstruction (parameter parity with the reference,
     ref ptychography.py:19-27 + cnn additions ``dynamic_dropping``,
     ``dropping_threshold``).
@@ -306,14 +307,46 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         pupil = (jnp.asarray(pupil_function, jnp.float32)
                  if pupil_function is not None else None)
 
-        @jax.jit
-        def step(params, opt_state, theta_block, pos_block, mag_block):
+        def _step_impl(params, opt_state, theta_block, pos_block, mag_block):
             (loss, (err, reg)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, theta_block, pos_block, mag_block)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             params = apply_projection(params, jnp.float32(1.0), 0, None, pupil)
             return params, opt_state, loss, err, reg
+
+        @jax.jit
+        def step(params, opt_state, theta_block, pos_block, mag_block):
+            return _step_impl(params, opt_state, theta_block, pos_block,
+                              mag_block)
+
+        @jax.jit
+        def epoch_scan(params, opt_state, prj_dev, theta_dev, pos_dev,
+                       th_idx, pos_idx):
+            """All job blocks of one epoch in a single device program.
+
+            ``prj_dev`` is the DEVICE-RESIDENT (n_theta, n_pos, ph, pw)
+            magnitude stack (uploaded once per level), ``pos_dev`` the
+            (n_pos, 2) position table; ``th_idx`` (n_blocks, T) and
+            ``pos_idx`` (n_blocks, T, M) are the epoch's shuffled job
+            tables — the only per-epoch upload. Port of the full-field
+            engine's epoch-in-one-call (recon/fullfield.py): removes the
+            per-block host dispatch, which costs O(seconds) per epoch on
+            RPC-tunneled TPU backends at the 529-position workload scale.
+            """
+            def body(carry, blk):
+                params, opt_state = carry
+                ti, pi = blk
+                th = theta_dev[ti]
+                pos = pos_dev[pi]
+                mag = prj_dev[ti[:, None], pi]
+                params, opt_state, loss, err, reg = _step_impl(
+                    params, opt_state, th, pos, mag)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (th_idx, pos_idx))
+            return params, opt_state, losses
 
         @jax.jit
         def position_loss(params, theta_scalar, pos_block, mag_block):
@@ -364,6 +397,18 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         active_pos_idx = np.arange(n_pos_full)
         mag_shard = data_sharding(mesh, 4) if mesh is not None else None
 
+        # epoch-in-one-call: needs the magnitude stack in device memory and a
+        # stable block count (dynamic dropping changes n_blocks per epoch,
+        # which would recompile the scan every time); H5 streaming stays on
+        # the per-block host loop by construction
+        use_epoch_scan = epoch_in_one_call
+        if use_epoch_scan == "auto":
+            from ..ops.pallas_kernels import _on_tpu
+            use_epoch_scan = _on_tpu()
+        use_epoch_scan = (use_epoch_scan and isinstance(this_prj_mag, np.ndarray)
+                          and not dynamic_dropping)
+        prj_dev = theta_dev = pos_dev = None
+
         # ---- checkpoint resume (mirrors the full-field engine) --------------
         # The dropping state is persisted as a fixed-length boolean mask so
         # the Orbax template shape is static.
@@ -393,16 +438,43 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
             blocks = _make_job_blocks(n_theta, active_pos_idx, minibatch_size,
                                       n_groups, rng)
             current_loss = None
-            for thetas_i, pos_idx in blocks:
-                theta_block = jnp.asarray(theta[thetas_i])
-                pos_block = jnp.asarray(this_pos[pos_idx], jnp.int32)
-                mag_block = jnp.asarray(_gather_block(
-                    this_prj_mag, theta_index[thetas_i], pos_idx, block_ds))
+            if use_epoch_scan:
+                if prj_dev is None:
+                    # one-time per-level upload of the magnitude stack,
+                    # angles, and position table; epochs ship only indices
+                    from ..parallel.mesh import replicated
+                    prj_dev = jnp.asarray(this_prj_mag)
+                    theta_dev = jnp.asarray(theta)
+                    pos_dev = jnp.asarray(this_pos, jnp.int32)
+                    if mesh is not None:
+                        rep_s = replicated(mesh)
+                        prj_dev = jax.device_put(prj_dev, rep_s)
+                        theta_dev = jax.device_put(theta_dev, rep_s)
+                        pos_dev = jax.device_put(pos_dev, rep_s)
+                th_idx = jnp.asarray(np.stack([b[0] for b in blocks]),
+                                     jnp.int32)
+                pos_idx = jnp.asarray(np.stack([b[1] for b in blocks]),
+                                      jnp.int32)
                 if mesh is not None:
-                    mag_block = jax.device_put(mag_block, mag_shard)
-                params, opt_state, loss, err, reg = step(
-                    params, opt_state, theta_block, pos_block, mag_block)
-                current_loss = float(loss)
+                    th_idx = jax.device_put(th_idx, data_sharding(mesh, 2, 1))
+                    pos_idx = jax.device_put(pos_idx,
+                                             data_sharding(mesh, 3, 1))
+                params, opt_state, losses = epoch_scan(
+                    params, opt_state, prj_dev, theta_dev, pos_dev,
+                    th_idx, pos_idx)
+                current_loss = float(losses[-1])
+            else:
+                for thetas_i, pos_idx in blocks:
+                    theta_block = jnp.asarray(theta[thetas_i])
+                    pos_block = jnp.asarray(this_pos[pos_idx], jnp.int32)
+                    mag_block = jnp.asarray(_gather_block(
+                        this_prj_mag, theta_index[thetas_i], pos_idx,
+                        block_ds))
+                    if mesh is not None:
+                        mag_block = jax.device_put(mag_block, mag_shard)
+                    params, opt_state, loss, err, reg = step(
+                        params, opt_state, theta_block, pos_block, mag_block)
+                    current_loss = float(loss)
             loss_ls.append(current_loss)
             _log("Epoch {}; loss = {}; Delta-t = {} s".format(
                 epoch, current_loss, time.time() - t00))

@@ -226,22 +226,23 @@ def test_separable_resample_matches_direct():
                                         mode="constant", cval=0.0))
     d_theta = 2 * th / (n - 1)
     sep = np.asarray(cartesian_to_spherical_separable(
-        vol, r0_px, d_theta, d_theta, grad="exact"))
+        vol, r0_px, d_theta, d_theta))
     inb = np.ones((n, n, n), bool)
     for k in range(3):
         inb &= (np.asarray(co[k]) >= 1) & (np.asarray(co[k]) <= n - 2)
     err = np.abs(sep[inb] - direct[inb]).max() / np.abs(direct[inb]).max()
     assert err < 1e-3, err
 
+    # the separable passes' adjoint is the exact transposed einsum; its
+    # gradient must track the direct gather's exact adjoint closely
     w = jnp.asarray((g3 * 0.5 + 0.2).astype(np.float32))
     ge = np.asarray(jax.grad(lambda v: jnp.sum(map_coordinates(
         v, list(co), order=1, mode="constant", cval=0.0) ** 2 * w))(vol))
-    for g, min_cos in (("exact", 0.999), ("inverse", 0.98)):
-        gi = np.asarray(jax.grad(lambda v: jnp.sum(
-            cartesian_to_spherical_separable(
-                v, r0_px, d_theta, d_theta, grad=g) ** 2 * w))(vol))
-        cos = (ge * gi).sum() / (np.linalg.norm(ge) * np.linalg.norm(gi))
-        assert cos > min_cos, (g, cos)
+    gi = np.asarray(jax.grad(lambda v: jnp.sum(
+        cartesian_to_spherical_separable(
+            v, r0_px, d_theta, d_theta) ** 2 * w))(vol))
+    cos = (ge * gi).sum() / (np.linalg.norm(ge) * np.linalg.norm(gi))
+    assert cos > 0.999, cos
 
 
 def test_spherical_split_separable_close_to_direct():
