@@ -24,7 +24,7 @@ import numpy as np
 
 
 def run(n_epochs=3, n_theta=500, size=256,
-        out="benchmarks/artifacts/cone_pp_256", seed=0):
+        out="benchmarks/artifacts/cone_pp_256", seed=0, no_reg=False):
     import jax.numpy as jnp
     from beyond_dof_tpu.constants import PI
     from beyond_dof_tpu.models.phantom import cone_foam_phantom
@@ -84,6 +84,14 @@ def run(n_epochs=3, n_theta=500, size=256,
     rec.update(n_epochs=n_epochs, multiscale_level=1, n_epoch_final_pass=None,
                output_folder=out, save_outputs=True, verbose=True, seed=seed,
                shrink_cycle=None)
+    if no_reg:
+        # diagnostic.json finding: at the preset's own alphas the regularizer
+        # (2.77e-6 at init) dominates the data term (2.1e-7) 13x, so the
+        # objective's global minimum is near the ZERO object — no optimizer
+        # can recover the phantom. With alphas off, descent at the preset lr
+        # reaches 3.5e-9 in 60 steps (engine exonerated). This run records
+        # the recoverable-quality ceiling of the workload.
+        rec.update(alpha_d=0, alpha_b=0, gamma=0)
     epoch_times = []
     t_mark = [time.time()]
 
@@ -133,5 +141,7 @@ if __name__ == "__main__":
     p.add_argument("--n-theta", type=int, default=500)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--out", default="benchmarks/artifacts/cone_pp_256")
+    p.add_argument("--no-reg", action="store_true")
     a = p.parse_args()
-    print(json.dumps(run(a.n_epochs, a.n_theta, a.size, a.out)), flush=True)
+    print(json.dumps(run(a.n_epochs, a.n_theta, a.size, a.out,
+                         no_reg=a.no_reg)), flush=True)

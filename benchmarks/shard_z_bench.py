@@ -128,7 +128,8 @@ def run_virtual_child(size, ndev):
     voxel_nm = np.array([psize_cm] * 3) * 1e7
     lmbda_nm = 1240.0 / 5000
     h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (size, size))
-    step, _ = _build_step(tx, None, 5000, psize_cm, 1e-4, h, 1e-7, 0, 0, 0,
+    probe = np.ones((size, size), np.complex64)
+    step, _ = _build_step(tx, probe, 5000, psize_cm, 1e-4, h, 1e-7, 0, 0, 0,
                           "fresnel", False, None, None, None, 1e-15, True,
                           True, split_complex=True)
     theta = jax.device_put(jnp.zeros((1,), jnp.float32), rep)

@@ -31,13 +31,27 @@ _PRECISION = jax.lax.Precision.HIGHEST
 def set_precision(name):
     """Set the MXU precision of the split-complex DFT matmuls.
 
-    'HIGHEST' (default) meets the 1e-6 amplitude-parity target of
-    BASELINE.md; 'HIGH' (3-pass bf16) is ~1.26x faster on v5e but accumulates
-    ~3e-4 amplitude error over 64 slices — opt-in speed mode only.
+    'HIGHEST' (default, 6 bf16 MXU passes per f32 matmul) meets the 1e-6
+    amplitude-parity target of BASELINE.md; 'HIGH' (error-compensated bf16x3,
+    3 passes — the hi*hi + hi*lo + lo*hi decomposition) roughly doubles
+    MXU-pass-bound throughput at large planes. Accuracy/throughput at 1024^2
+    is recorded by benchmarks/precision_bench.py; enable per-process with
+    BDT_DFT_PRECISION=high only after that gate passes for your slice count.
     """
     global _PRECISION
-    _PRECISION = getattr(jax.lax.Precision, name) if isinstance(name, str) else name
+    _PRECISION = (getattr(jax.lax.Precision, name.upper())
+                  if isinstance(name, str) else name)
     return _PRECISION
+
+
+_env_prec = __import__("os").environ.get("BDT_DFT_PRECISION")
+if _env_prec:
+    try:
+        set_precision(_env_prec)
+    except AttributeError:
+        raise ValueError(
+            "BDT_DFT_PRECISION=%r is not a valid precision; accepted values "
+            "are 'default', 'high', 'highest'." % (_env_prec,)) from None
 
 
 @functools.lru_cache(maxsize=4)

@@ -69,6 +69,24 @@ def test_ptycho_reconstruction_loss_decreases(ptycho_setup):
     assert d.shape == gd.shape
 
 
+def test_ptycho_epoch_scan_matches_host_loop(ptycho_setup):
+    """epoch_in_one_call=True (device-resident epoch scan) reproduces the
+    per-block host loop: same seeded job shuffle, same final state."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    common = dict(probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24),
+                  data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, minibatch_size=9,
+                  energy_ev=5000, psize_cm=1e-7, probe_type="gaussian",
+                  probe_mag_sigma=3, probe_phase_sigma=3, probe_phase_max=0.5,
+                  save_outputs=False, verbose=False, seed=0)
+    d_host, b_host, i_host = reconstruct_ptychography(
+        epoch_in_one_call=False, **common)
+    d_scan, b_scan, i_scan = reconstruct_ptychography(
+        epoch_in_one_call=True, **common)
+    np.testing.assert_allclose(i_scan["loss"], i_host["loss"], rtol=1e-5)
+    np.testing.assert_allclose(d_scan, d_host, rtol=1e-4, atol=1e-12)
+
+
 def test_ptycho_dynamic_dropping_drops(ptycho_setup):
     gd, gb, pos, probe_size, data = ptycho_setup
     d, b, info = reconstruct_ptychography(
