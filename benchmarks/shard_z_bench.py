@@ -163,8 +163,15 @@ def run_virtual_child(size, ndev):
 
 def run_virtual(size=1024, ndev=8):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=%d" % ndev)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=%d" % ndev
+        # 8 device threads time-share the host cores, so participants can
+        # take minutes to reach a collective rendezvous; the default 40 s
+        # stuck-watchdog aborts the process (F rendezvous.cc) at >=512^3
+        # (the matching warn_stuck flag is not registered in this build)
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        + " --xla_cpu_collective_timeout_seconds=7200")
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
