@@ -143,7 +143,8 @@ def run_virtual_child(size, ndev):
 
     shard_bytes = [s.data.nbytes for s in out[0]["delta"].addressable_shards]
     state_bytes_per_dev = 0
-    for leaf in jax.tree.leaves((out[0], out[1], mask)):
+    # out[2] is the post-step mask: the input mask was donated to the step
+    for leaf in jax.tree.leaves((out[0], out[1], out[2])):
         if getattr(leaf, "ndim", 0) == 3 and leaf.shape == shape:
             state_bytes_per_dev += leaf.addressable_shards[0].data.nbytes
     result = {

@@ -23,6 +23,7 @@ traces; summary.txt provenance; Orbax checkpoint/resume (new).
 
 import os
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -148,12 +149,17 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                                   shrink_threshold)
         return params, opt_state, mask, loss, err, reg
 
-    @jax.jit
+    # params/opt_state/mask are donated: they are pure state threaded through
+    # every call (the caller always rebinds to the returned values), and the
+    # training state is the dominant memory term at large sizes (26+ GB at
+    # 1024^3) — donation lets XLA update it in place instead of holding
+    # input and output copies live simultaneously.
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, opt_state, mask, theta_batch, prj_mag, epoch, plan=None):
         return _step_impl(params, opt_state, mask, theta_batch, prj_mag, epoch,
                           plan)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def epoch_scan(params, opt_state, mask, prj_all, theta_all, idx, epoch,
                    plan=None):
         """All minibatches of one epoch in a single device program.

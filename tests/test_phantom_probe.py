@@ -77,3 +77,23 @@ def test_probe_initial_guess_backprop():
     probe = create_probe_initial_guess(data, 100.0, 5.0, 1.0)
     assert probe.shape == (16, 16)
     assert np.isfinite(probe).all()
+
+
+def test_cone_support_mask_encloses_phantom():
+    """The analytic cone support mask (ref create_support_mask.py:10-20
+    equivalent) must enclose every non-zero voxel of cone_foam_phantom —
+    the property that makes it a valid finite-support constraint for the
+    far-field preset's gauge."""
+    from beyond_dof_tpu.models.phantom import (cone_foam_phantom,
+                                               cone_support_mask)
+    gd, _ = cone_foam_phantom(32)
+    mask = cone_support_mask(32)
+    assert mask.shape == gd.shape
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    clipped = gd * (1.0 - mask)
+    assert np.abs(clipped).max() == 0.0
+    # and it is a proper constraint, not all-ones (margins dominate at
+    # tiny sizes; at the workload's 256 the occupancy is ~0.5)
+    assert (mask == 0).any()
+    m256 = cone_support_mask(256)
+    assert m256.mean() < 0.6

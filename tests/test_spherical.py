@@ -342,3 +342,32 @@ def test_spherical_split_to_plane_separable_parity():
         d, gb[None], pr, pi, resample_grad="separable", **kw)[0] ** 2))(
             gd[None])
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_engine_point_probe_epoch_scan_parity(tmp_path):
+    """epoch_in_one_call=True (all minibatches of an epoch as one device
+    scan) must match the per-minibatch dispatch path for the spherical
+    (probe_type='point') forward — the round-2 exclusion predates the
+    separable resample and no longer applies."""
+    from beyond_dof_tpu.models.phantom import adhesin_phantom
+    from beyond_dof_tpu.ops.spherical import multislice_propagate_spherical
+    from beyond_dof_tpu.recon.fullfield import reconstruct_fullfield
+    from beyond_dof_tpu.constants import PI
+
+    gd, gb = adhesin_phantom(16)
+    data = np.asarray(multislice_propagate_spherical(
+        gd[None], gb[None], np.ones((16, 16), np.complex64), 800, 0.67e-7,
+        dist_to_source_cm=1e-4, det_psize_cm=2e-7, theta_max=PI / 15,
+        phi_max=PI / 15, map_to_plane=False))
+    data = np.tile(data, (4, 1, 1))
+    kw = dict(data=data, theta_end=2 * np.pi, n_epochs=2, alpha_d=0,
+              alpha_b=0, gamma=0, learning_rate=1e-7, energy_ev=800,
+              psize_cm=0.67e-7, minibatch_size=2, shrink_cycle=None,
+              save_outputs=False, verbose=False, seed=0, probe_type="point",
+              split_complex=True, random_theta=False, dist_to_source_cm=1e-4,
+              det_psize_cm=2e-7, theta_max=PI / 15, phi_max=PI / 15)
+    d0, b0, i0 = reconstruct_fullfield(epoch_in_one_call=False, **kw)
+    d1, b1, i1 = reconstruct_fullfield(epoch_in_one_call=True, **kw)
+    assert np.isfinite(i1["loss"]).all()
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-8)
+    np.testing.assert_allclose(i1["loss"], i0["loss"], rtol=1e-4)
