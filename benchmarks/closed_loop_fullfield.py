@@ -20,7 +20,7 @@ import numpy as np
 
 
 def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
-        support_mask=None):
+        support_mask=None, auto_epochs=False):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -68,6 +68,10 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
     if n_epochs is not None:
         rec["n_epochs"] = n_epochs
     rec.update(output_folder=out, save_outputs=True, verbose=True, seed=seed)
+    if auto_epochs:
+        # run every level to the reference convergence criterion
+        # (n_epochs='auto', crit_conv_rate default; ref fullfield.py:570-594)
+        rec.update(n_epochs="auto", n_epoch_final_pass=None)
     if mask is not None:
         rec["finite_support_mask"] = mask
     t0 = time.time()
@@ -110,6 +114,10 @@ if __name__ == "__main__":
     ap.add_argument("--support-mask", default=None, choices=[None, "cone"],
                     help="analytic finite-support mask (ref "
                          "create_support_mask.py workflow)")
+    ap.add_argument("--auto-epochs", action="store_true",
+                    help="n_epochs='auto' at every level (reference "
+                         "crit_conv_rate stopping)")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
-                         support_mask=a.support_mask)), flush=True)
+                         support_mask=a.support_mask,
+                         auto_epochs=a.auto_epochs)), flush=True)

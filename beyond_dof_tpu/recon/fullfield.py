@@ -395,9 +395,41 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
             def pick_remat(params):
                 return True if auto_remat else remat
 
+        if shard_object == "y":
+            # fully Y-sharded step (recon/sharded.py): rotation, tiled
+            # propagation, regularizers, Adam all slab-local — the only
+            # configuration whose TRANSIENT per-device memory is O(N^3/n_ty),
+            # i.e. the one that actually fits 1024^3 on a v5e-8
+            if tile_mesh is None or eff_forward != "conv":
+                raise ValueError(
+                    "shard_object='y' requires forward_algorithm='conv' and "
+                    "a tile_mesh with a 'ty' axis (the Y-slab-local tiled "
+                    "propagator)")
+            if optimize_probe:
+                raise ValueError("shard_object='y' does not support an "
+                                 "optimizable probe yet")
+            if shrink_cycle is not None:
+                raise ValueError("shard_object='y' does not support "
+                                 "shrink-wrap (cross-slab gaussian filter)")
+            if mesh is not None:
+                raise ValueError("combine shard_object='y' with the tile "
+                                 "mesh only (data-parallel replicas of a "
+                                 "Y-sharded object are not wired yet)")
+
         _step_cache = {}
 
         def get_step(mode):
+            if shard_object == "y":
+                key = ("y", bool(mode))
+                if key not in _step_cache:
+                    from .sharded import build_step_sharded_y
+                    _step_cache[key] = build_step_sharded_y(
+                        tx, opt_state, tile_mesh, obj_shape, probe,
+                        energy_ev, psize_cm * ds_level, free_prop_cm,
+                        alpha, alpha_d, alpha_b, gamma,
+                        n_epochs_mask_release=n_epochs_mask_release,
+                        kernel_size=kernel_size, remat=bool(mode))
+                return _step_cache[key]
             if mode not in _step_cache:
                 _step_cache[mode] = _build_step(
                     tx, probe, energy_ev, psize_cm * ds_level,
@@ -413,6 +445,10 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         mask_dev = jnp.asarray(mask)
         batch_shard = data_sharding(mesh, 1) if mesh is not None else None
         prj_shard = data_sharding(mesh, 3) if mesh is not None else None
+        if shard_object == "y":
+            from .sharded import shard_state_y
+            params, opt_state, mask_dev = shard_state_y(
+                tile_mesh, obj_shape, params, opt_state, mask_dev)
         if mesh is not None:
             rep = replicated(mesh)
             if shard_object == "z":
@@ -499,6 +535,14 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                         rep_s = replicated(mesh)
                         prj_dev = jax.device_put(prj_dev, rep_s)
                         theta_dev = jax.device_put(theta_dev, rep_s)
+                    elif shard_object == "y":
+                        # Y-strips of the projection stack live with the
+                        # slab that consumes them
+                        from jax.sharding import NamedSharding, PartitionSpec
+                        prj_dev = jax.device_put(prj_dev, NamedSharding(
+                            tile_mesh, PartitionSpec(None, "ty", None)))
+                        theta_dev = jax.device_put(theta_dev, NamedSharding(
+                            tile_mesh, PartitionSpec()))
                 idx = jnp.asarray(order[: n_batch * tot].reshape(n_batch, tot),
                                   jnp.int32)
                 if mesh is not None:

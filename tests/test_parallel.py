@@ -177,3 +177,52 @@ def test_data_parallel_point_probe_matches_serial():
                                           learning_rate=0.5e-7, **common)
     assert np.allclose(info1["loss"], info2["loss"], rtol=1e-3)
     assert np.allclose(d1, d2, atol=1e-7)
+
+
+def test_y_sharded_engine_matches_serial():
+    """shard_object='y' (the fully slab-local train step, recon/sharded.py)
+    matches the serial conv engine: rotation, halo-exchange propagation,
+    L1+TV regularizers (incl. the cross-slab TV boundary row), Adam and
+    projections all run inside one shard_map over ty with only O(N^3/n_ty)
+    per-device state."""
+    rng = np.random.RandomState(0)
+    n = 32
+    data = (1.0 + 1e-3 * rng.randn(8, n, n)).astype(np.complex64)
+    common = dict(data=data, theta_end=np.pi, n_epochs=2, alpha_d=1e-9,
+                  alpha_b=1e-10, gamma=1e-9, learning_rate=1e-7,
+                  energy_ev=5000, psize_cm=1e-7, free_prop_cm=1e-4,
+                  minibatch_size=4, shrink_cycle=None, save_outputs=False,
+                  verbose=False, seed=0, random_theta=False,
+                  forward_algorithm="conv", kernel_size=9,
+                  split_complex=True)
+    d1, b1, info1 = reconstruct_fullfield(**common)
+    mesh = make_mesh(n_data=1, tile_yx=(4, 1))
+    d2, b2, info2 = reconstruct_fullfield(shard_object="y", tile_mesh=mesh,
+                                          **common)
+    assert np.allclose(info1["loss"], info2["loss"], rtol=1e-4), (
+        info1["loss"], info2["loss"])
+    # Adam's m/sqrt(v) is ~sign(g) at near-zero gradients, so float-reorder
+    # noise flips single elements by one lr quantum per update; 2 epochs x 2
+    # minibatches = 4 updates of lr=1e-7 bound the elementwise divergence
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 4 * 1e-7
+    assert np.abs(np.asarray(b1) - np.asarray(b2)).max() < 4 * 1e-7
+
+
+def test_y_sharded_epoch_scan_matches_loop():
+    """The Y-sharded step composes with epoch_in_one_call (scan over the
+    shard_mapped step with a ty-sharded device-resident projection stack)."""
+    rng = np.random.RandomState(1)
+    n = 32
+    data = (1.0 + 1e-3 * rng.randn(8, n, n)).astype(np.complex64)
+    mesh = make_mesh(n_data=1, tile_yx=(4, 1))
+    common = dict(data=data, theta_end=np.pi, n_epochs=2, alpha_d=1e-9,
+                  alpha_b=0, gamma=1e-9, learning_rate=1e-7,
+                  energy_ev=5000, psize_cm=1e-7, free_prop_cm=1e-4,
+                  minibatch_size=4, shrink_cycle=None, save_outputs=False,
+                  verbose=False, seed=0, random_theta=False,
+                  forward_algorithm="conv", kernel_size=9,
+                  split_complex=True, shard_object="y", tile_mesh=mesh)
+    d1, b1, info1 = reconstruct_fullfield(epoch_in_one_call=False, **common)
+    d2, b2, info2 = reconstruct_fullfield(epoch_in_one_call=True, **common)
+    assert np.allclose(info1["loss"], info2["loss"], rtol=1e-4)
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 4 * 1e-7
