@@ -33,8 +33,10 @@ def halo_exchange_1d(x, halo, axis, axis_name, edge_val=0.0):
     hi = jax.lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis], axis=axis)
 
     if n == 1:
-        recv_prev = jnp.full_like(lo, edge_val)
-        recv_next = jnp.full_like(hi, edge_val)
+        # zeros + edge_val (not full_like): a traced edge_val may carry its
+        # own varying-axes set under shard_map; the add unions it with x's
+        recv_prev = jnp.zeros_like(lo) + edge_val
+        recv_next = jnp.zeros_like(hi) + edge_val
         return jnp.concatenate([recv_prev, x, recv_next], axis=axis)
 
     # neighbor i receives my hi as its "prev" halo; my lo goes to i-1's "next"
@@ -43,8 +45,8 @@ def halo_exchange_1d(x, halo, axis, axis_name, edge_val=0.0):
     recv_prev = jax.lax.ppermute(hi, axis_name, fwd)   # from idx-1
     recv_next = jax.lax.ppermute(lo, axis_name, bwd)   # from idx+1
 
-    edge_lo = jnp.full_like(lo, edge_val)
-    edge_hi = jnp.full_like(hi, edge_val)
+    edge_lo = jnp.zeros_like(lo) + edge_val
+    edge_hi = jnp.zeros_like(hi) + edge_val
     recv_prev = jnp.where(idx == 0, edge_lo, recv_prev)
     recv_next = jnp.where(idx == n - 1, edge_hi, recv_next)
     return jnp.concatenate([recv_prev, x, recv_next], axis=axis)

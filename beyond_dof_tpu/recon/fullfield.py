@@ -255,6 +255,11 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
     if minibatch_size is None:
         minibatch_size = n_theta
     n_data = mesh.shape["data"] if mesh is not None else 1
+    if shard_object == "y" and tile_mesh is not None:
+        # DP replicas of the Y-sharded object ride the tile mesh's own
+        # 'data' axis (a (data, ty) mesh); grads are pmean'd inside the
+        # shard_mapped step (recon/sharded.py)
+        n_data = tile_mesh.shape.get("data", 1)
 
     if output_folder is None:
         output_folder = fullfield_output_folder(
@@ -413,8 +418,9 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                                  "shrink-wrap (cross-slab gaussian filter)")
             if mesh is not None:
                 raise ValueError("combine shard_object='y' with the tile "
-                                 "mesh only (data-parallel replicas of a "
-                                 "Y-sharded object are not wired yet)")
+                                 "mesh only; for data parallelism give the "
+                                 "tile_mesh a 'data' axis (make_mesh("
+                                 "n_data=K, tile_yx=(n_ty, 1)))")
 
         _step_cache = {}
 
@@ -560,6 +566,12 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                     if mesh is not None:
                         theta_batch = jax.device_put(theta_batch, batch_shard)
                         prj_mag = jax.device_put(prj_mag, prj_shard)
+                    elif shard_object == "y":
+                        from jax.sharding import NamedSharding, PartitionSpec
+                        theta_batch = jax.device_put(theta_batch, NamedSharding(
+                            tile_mesh, PartitionSpec("data")))
+                        prj_mag = jax.device_put(prj_mag, NamedSharding(
+                            tile_mesh, PartitionSpec("data", "ty", None)))
                     params, opt_state, mask_dev, loss, err, reg = step(
                         params, opt_state, mask_dev, theta_batch, prj_mag,
                         jnp.int32(epoch), fwd_plan)

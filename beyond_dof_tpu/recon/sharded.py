@@ -41,7 +41,7 @@ from ..constants import PI
 from ..ops.fresnel import get_kernel, ifftshift2
 from ..ops.tiled import (truncated_kernel, conv_matrices, _conv_step_split,
                          _norm_psize, shard_map)
-from ..ops.rotate import rotate_volume
+from ..ops.rotate import rotate_volume_zfirst_tfgrad
 from ..ops.regularizers import l1_norm
 from ..parallel.collectives import halo_exchange_1d
 from .engine import apply_projection
@@ -94,8 +94,9 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
     assert kernel_size % 2 == 1, "kernel_size must be an odd number."
     dim_y, dim_x, n_slice = obj_shape
     n_ty = mesh.shape["ty"]
+    n_dp = mesh.shape.get("data", 1)
     assert mesh.shape.get("tx", 1) == 1, \
-        "shard_object='y' tiles Y only; use a (ty,) mesh (tx=1)"
+        "shard_object='y' tiles Y only; use a (data, ty) mesh (tx=1)"
     assert dim_y % n_ty == 0, "Y must divide the ty mesh size"
     tile_y = dim_y // n_ty
     pad = (kernel_size - 1) // 2
@@ -133,8 +134,10 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
     def propagate_local(d_rot, b_rot):
         """Slab-local split multislice with per-slice Y-halo ppermute.
 
-        d_rot/b_rot: (B, tile_y, X, Z). Returns local (B, tile_y, X)
-        exit strips (pre free-space, pre renormalization) + final edge.
+        d_rot/b_rot: (B, Z, tile_y, X) z-first stacks (the rotation gather
+        writes z-first, so no minor-dim relayout copy is ever made).
+        Returns local (B, tile_y, X) exit strips (pre free-space, pre
+        renormalization) + final edge.
         """
         n_batch = d_rot.shape[0]
         idx = jax.lax.axis_index("ty")
@@ -142,8 +145,8 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
             p_re_full, idx * tile_y, tile_y, 0), (n_batch, tile_y, dim_x))
         wi = jnp.broadcast_to(jax.lax.dynamic_slice_in_dim(
             p_im_full, idx * tile_y, tile_y, 0), (n_batch, tile_y, dim_x))
-        dz = jnp.moveaxis(d_rot, -1, 0)
-        bz = jnp.moveaxis(b_rot, -1, 0)
+        dz = jnp.moveaxis(d_rot, 1, 0)  # (Z, B, tile_y, X): major-dim swap
+        bz = jnp.moveaxis(b_rot, 1, 0)
 
         xpad_mask = jnp.pad(jnp.ones((dim_x,), jnp.float32), (pad, pad),
                             constant_values=0.0)
@@ -169,8 +172,13 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
             return (wr, wi, er, ei), None
 
         step_fn = jax.checkpoint(step) if remat else step
-        (wr, wi, er, ei), _ = jax.lax.scan(
-            step_fn, (wr, wi, jnp.float32(1.0), jnp.float32(0.0)), (dz, bz))
+        carry = (wr, wi, jnp.float32(1.0), jnp.float32(0.0))
+        if n_dp > 1:
+            # the probe-derived carry is data-replicated but the scanned
+            # modulation varies over the 'data' replicas; mark the carry
+            # varying so the scan types match
+            carry = jax.lax.pcast(carry, ("data",), to="varying")
+        (wr, wi, er, ei), _ = jax.lax.scan(step_fn, carry, (dz, bz))
         return wr, wi
 
     def tv3d_local(arr):
@@ -189,9 +197,13 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
     def local_loss(params_l, mask_l, theta_batch, prj_l):
         obj_d = params_l["delta"] * mask_l
         obj_b = params_l["beta"] * mask_l
-        rot = jax.vmap(lambda th: (rotate_volume(obj_d, th),
-                                   rotate_volume(obj_b, th)))
-        d_rot, b_rot = rot(theta_batch)                  # (B, tile_y, X, Z)
+        # per-Y-row rotation is slab-local; the z-first gather writes the
+        # propagation layout directly, and the 'tf' cotangent rotation
+        # (engine default, ref tf.contrib.image.rotate semantics) keeps the
+        # backward a gather too — no scatter-add, no O(N^3) index temps
+        rot = jax.vmap(lambda th: (rotate_volume_zfirst_tfgrad(obj_d, th),
+                                   rotate_volume_zfirst_tfgrad(obj_b, th)))
+        d_rot, b_rot = rot(theta_batch)                  # (B, Z, tile_y, X)
         wr, wi = propagate_local(d_rot, b_rot)           # (B, tile_y, X)
 
         # gather the (small) exit plane for renormalization + free space
@@ -239,6 +251,15 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
     def _step_local(params_l, opt_l, mask_l, theta_batch, prj_l, epoch):
         (loss, (err, reg)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params_l, mask_l, theta_batch, prj_l)
+        if n_dp > 1:
+            # data-parallel replicas of the Y-sharded object over the
+            # 'data' mesh axis: each replica differentiates its own
+            # minibatch-mean loss; averaging the gradients reproduces the
+            # global-batch mean (Horovod-allreduce semantics, ref
+            # fullfield.py:412). Scalars are averaged for reporting.
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            err = jax.lax.pmean(err, "data")
         updates, opt_l = tx.update(grads, opt_l, params_l)
         params_l = optax.apply_updates(params_l, updates)
         params_l = apply_projection(params_l, mask_l, epoch,
@@ -249,7 +270,11 @@ def build_step_sharded_y(tx, opt_state_template, mesh, obj_shape, probe,
     params_template = {"delta": 0, "beta": 0}
     p_specs = jax.tree.map(lambda _: vol3, params_template)
     o_specs = _spec_tree(opt_state_template, obj_shape, vol3)
-    in_specs = (p_specs, o_specs, vol3, P(), P(None, "ty", None), P())
+    if n_dp > 1:
+        in_specs = (p_specs, o_specs, vol3, P("data"),
+                    P("data", "ty", None), P())
+    else:
+        in_specs = (p_specs, o_specs, vol3, P(), P(None, "ty", None), P())
     out_specs = (p_specs, o_specs, vol3, P(), P(), P())
 
     sharded_step = shard_map(_step_local, mesh, in_specs, out_specs)

@@ -8,6 +8,7 @@ angles on device; only the HDF5/TIFF writes stay on the host.
 """
 
 import os
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -151,23 +152,60 @@ def create_ptychography_data(grid_delta, grid_beta, energy_ev, psize_cm, n_theta
 
     theta_ls = -np.linspace(theta_st, theta_end, n_theta)
     data = np.empty((n_theta, n_pos, probe_size[0], probe_size[1]), dtype=np.complex64)
-    for i, theta in enumerate(theta_ls):
-        for k0 in range(0, n_pos, n_dp_batch):
-            pos_batch = probe_pos[k0:k0 + n_dp_batch]
-            if use_split:
-                re, im = ptycho_forward_split(
-                    jnp.asarray(grid_delta), jnp.asarray(grid_beta),
-                    jnp.float32(theta), pos_batch, p_re, p_im, energy_ev,
+
+    # One jitted program per CHUNK of angles (lax.map over angles, and over
+    # position blocks inside) instead of one dispatch per (angle, block):
+    # at the reference adhesin workload (500 angles x 529 positions) the
+    # per-dispatch relay round-trips dominate by an order of magnitude.
+    n_blk = int(np.ceil(n_pos / float(n_dp_batch)))
+    pos_pad = np.concatenate(
+        [probe_pos, np.tile(probe_pos[-1:], (n_blk * n_dp_batch - n_pos, 1))])
+    pos_blocks = jnp.asarray(
+        pos_pad.reshape(n_blk, n_dp_batch, 2).astype(np.int32))
+    gd_dev = jnp.asarray(grid_delta)
+    gb_dev = jnp.asarray(grid_beta)
+
+    import jax as _jax
+    from functools import partial as _partial
+
+    @_partial(_jax.jit, static_argnames=())
+    def _sim_chunk_split(thetas, blocks):
+        def one_theta(th):
+            def one_block(pos_blk):
+                return ptycho_forward_split(
+                    gd_dev, gb_dev, th, pos_blk, p_re, p_im, energy_ev,
                     psize_cm, probe_size, pad_arr, probe_mask=probe_mask,
                     free_prop_cm="inf", remat=False)
-                out = np.asarray(re) + 1j * np.asarray(im)
-            else:
-                out = np.asarray(ptycho_forward(
-                    jnp.asarray(grid_delta), jnp.asarray(grid_beta),
-                    jnp.float32(theta), pos_batch, probe, energy_ev, psize_cm,
+            re, im = _jax.lax.map(one_block, blocks)
+            return (re.reshape(-1, probe_size[0], probe_size[1]),
+                    im.reshape(-1, probe_size[0], probe_size[1]))
+        return _jax.lax.map(one_theta, thetas)
+
+    @_partial(_jax.jit, static_argnames=())
+    def _sim_chunk_complex(thetas, blocks):
+        def one_theta(th):
+            def one_block(pos_blk):
+                return ptycho_forward(
+                    gd_dev, gb_dev, th, pos_blk, probe, energy_ev, psize_cm,
                     probe_size, pad_arr, probe_mask=probe_mask,
-                    free_prop_cm="inf", remat=False))
-            data[i, k0:k0 + len(pos_batch)] = out
+                    free_prop_cm="inf", remat=False)
+            out = _jax.lax.map(one_block, blocks)
+            return out.reshape(-1, probe_size[0], probe_size[1])
+        return _jax.lax.map(one_theta, thetas)
+
+    chunk = 50
+    t_start = time.time()
+    for i0 in range(0, n_theta, chunk):
+        th = jnp.asarray(theta_ls[i0:i0 + chunk].astype(np.float32))
+        if use_split:
+            re, im = _sim_chunk_split(th, pos_blocks)
+            out = np.asarray(re)[:, :n_pos] + 1j * np.asarray(im)[:, :n_pos]
+        else:
+            out = np.asarray(_sim_chunk_complex(th, pos_blocks))[:, :n_pos]
+        data[i0:i0 + th.shape[0]] = out
+        if i0:
+            print("simulating angle %d/%d (%.1f s elapsed)"
+                  % (i0, n_theta, time.time() - t_start), flush=True)
     if fname is not None:
         write_exchange_data(os.path.join(save_folder or ".", fname), data)
     return data

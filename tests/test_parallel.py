@@ -202,10 +202,10 @@ def test_y_sharded_engine_matches_serial():
     assert np.allclose(info1["loss"], info2["loss"], rtol=1e-4), (
         info1["loss"], info2["loss"])
     # Adam's m/sqrt(v) is ~sign(g) at near-zero gradients, so float-reorder
-    # noise flips single elements by one lr quantum per update; 2 epochs x 2
-    # minibatches = 4 updates of lr=1e-7 bound the elementwise divergence
-    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 4 * 1e-7
-    assert np.abs(np.asarray(b1) - np.asarray(b2)).max() < 4 * 1e-7
+    # noise flips single elements by one lr quantum per update in EACH run;
+    # 2 epochs x 2 minibatches = 4 updates of lr=1e-7, two trajectories
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 8 * 1e-7
+    assert np.abs(np.asarray(b1) - np.asarray(b2)).max() < 8 * 1e-7
 
 
 def test_y_sharded_epoch_scan_matches_loop():
@@ -225,4 +225,33 @@ def test_y_sharded_epoch_scan_matches_loop():
     d1, b1, info1 = reconstruct_fullfield(epoch_in_one_call=False, **common)
     d2, b2, info2 = reconstruct_fullfield(epoch_in_one_call=True, **common)
     assert np.allclose(info1["loss"], info2["loss"], rtol=1e-4)
-    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 4 * 1e-7
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 8 * 1e-7
+
+
+def test_y_sharded_data_parallel_matches_serial():
+    """DP replicas of the Y-sharded object: a (data=2, ty=2) mesh with
+    grads pmean'd over 'data' inside the shard_mapped step matches the
+    serial run at the same global batch (halved LR per the engine's
+    Horovod-parity LR x size scaling)."""
+    rng = np.random.RandomState(2)
+    n = 32
+    data = (1.0 + 1e-3 * rng.randn(8, n, n)).astype(np.complex64)
+    common = dict(data=data, theta_end=np.pi, n_epochs=2, alpha_d=1e-9,
+                  alpha_b=1e-10, gamma=1e-9, energy_ev=5000, psize_cm=1e-7,
+                  free_prop_cm=1e-4, shrink_cycle=None, save_outputs=False,
+                  verbose=False, seed=0, random_theta=False,
+                  forward_algorithm="conv", kernel_size=9,
+                  split_complex=True)
+    d1, b1, info1 = reconstruct_fullfield(minibatch_size=4,
+                                          learning_rate=1e-7, **common)
+    mesh = make_mesh(n_data=2, tile_yx=(2, 1))
+    d2, b2, info2 = reconstruct_fullfield(minibatch_size=2, shard_object="y",
+                                          tile_mesh=mesh,
+                                          learning_rate=0.5e-7, **common)
+    assert np.allclose(info1["loss"], info2["loss"], rtol=1e-4), (
+        info1["loss"], info2["loss"])
+    # each of the two compared trajectories can diverge by one lr quantum
+    # per update (Adam ~sign(g) at near-zero gradients), so the bound is
+    # 2 runs x 4 updates x the effective lr (1e-7 after the x size scaling)
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 8 * 1e-7
+    assert np.abs(np.asarray(b1) - np.asarray(b2)).max() < 8 * 1e-7
