@@ -56,6 +56,25 @@ FULLFIELD_PRESETS = {
                         "n_epoch_final_pass": 6, "probe_type": "plane",
                         "forward_algorithm": "fresnel"},
     },
+    "cone_512": {
+        # the reference generates this dataset (params_cone_512, ref
+        # create_fullfield_data.py:31-47: 512^3 foam, 5 keV, 500 angles,
+        # free_prop 1e-4) but ships no recon preset for it; recon
+        # hyperparameters mirror params_cone with the unnormalized L1/TV
+        # weights divided by the 8x volume ratio (same per-voxel weight)
+        # and minibatch 2 (10 rotated 512^3 pairs do not fit 16 GB HBM)
+        "phantom": {"kind": "cone_foam", "size": 512},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,
+                     "n_theta": 500, "theta_end": 2 * PI},
+        "reconstruct": {"theta_st": 0, "theta_end": 2 * PI, "n_epochs": 10,
+                        "alpha_d": 1.9e-9, "alpha_b": 1.9e-10, "gamma": 1.25e-12,
+                        "learning_rate": 1e-7, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 2,
+                        "n_epochs_mask_release": 10, "shrink_cycle": None,
+                        "free_prop_cm": 1e-4, "n_batch_per_update": 1,
+                        "multiscale_level": 3, "n_epoch_final_pass": 6,
+                        "probe_type": "plane", "forward_algorithm": "fresnel"},
+    },
     "cone_far": {
         "phantom": {"kind": "cone_foam", "size": 256},
         "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": "inf",
