@@ -232,14 +232,13 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
     if epoch_in_one_call == "auto":
         # On TPU backends (especially RPC-tunneled ones) per-minibatch host
         # dispatch costs O(seconds); run each epoch as one device program.
-        # EXCEPT the spherical (point-probe) forward: its single step is
-        # already a very large program (resample + per-radius scan + shell
-        # mapping, ~5 min to compile at 256^3) and chaining every minibatch
-        # into one scan crashes the TPU worker during compilation.
+        # This now INCLUDES the spherical (point-probe) forward: with the
+        # separable five-einsum resample the chained-epoch program compiles
+        # fine and measures 17.3 vs 29.3 s/epoch on the cone_pp 256^3
+        # workload (benchmarks/spherical_eioc.json; the round-2 compile
+        # crash predated the separable resample).
         from ..ops.pallas_kernels import _on_tpu
-        epoch_in_one_call = (_on_tpu()
-                             and not (probe_type == "point"
-                                      or forward_algorithm == "spherical"))
+        epoch_in_one_call = _on_tpu()
 
     if data is None:
         data = read_exchange_data(os.path.join(save_path, fname),
