@@ -20,7 +20,7 @@ import numpy as np
 
 
 def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
-        support_mask=None, auto_epochs=False):
+        support_mask=None, auto_epochs=False, final_epochs=None):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -53,8 +53,10 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         data = np.load(cache)
         print("sim cache hit: %s" % cache, flush=True)
     else:
-        # 50 rotated 256^3 volume pairs don't fit 16 GB HBM; 10 do
-        batch_size = 50 if gd.shape[0] <= 128 else 10
+        # 50 rotated 256^3 volume pairs don't fit 16 GB HBM; 10 do.
+        # At 512^3 even 10 pairs are 10.7 GB before transients; use 4.
+        n = gd.shape[0]
+        batch_size = 50 if n <= 128 else (10 if n <= 256 else 4)
         data = create_fullfield_data(gd, gb, batch_size=batch_size, **sim)
         np.save(cache, np.asarray(data))
     if n_photons:
@@ -72,6 +74,9 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         # run every level to the reference convergence criterion
         # (n_epochs='auto', crit_conv_rate default; ref fullfield.py:570-594)
         rec.update(n_epochs="auto", n_epoch_final_pass=None)
+    if final_epochs is not None:
+        # quality-ceiling probe: extend only the full-resolution pass
+        rec["n_epoch_final_pass"] = final_epochs
     if mask is not None:
         rec["finite_support_mask"] = mask
     t0 = time.time()
@@ -117,7 +122,10 @@ if __name__ == "__main__":
     ap.add_argument("--auto-epochs", action="store_true",
                     help="n_epochs='auto' at every level (reference "
                          "crit_conv_rate stopping)")
+    ap.add_argument("--final-epochs", type=int, default=None,
+                    help="override n_epoch_final_pass (quality-ceiling probe)")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
                          support_mask=a.support_mask,
-                         auto_epochs=a.auto_epochs)), flush=True)
+                         auto_epochs=a.auto_epochs,
+                         final_epochs=a.final_epochs)), flush=True)
