@@ -451,17 +451,26 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                         prj_dev = jax.device_put(prj_dev, rep_s)
                         theta_dev = jax.device_put(theta_dev, rep_s)
                         pos_dev = jax.device_put(pos_dev, rep_s)
-                th_idx = jnp.asarray(np.stack([b[0] for b in blocks]),
-                                     jnp.int32)
-                pos_idx = jnp.asarray(np.stack([b[1] for b in blocks]),
-                                      jnp.int32)
-                if mesh is not None:
-                    th_idx = jax.device_put(th_idx, data_sharding(mesh, 2, 1))
-                    pos_idx = jax.device_put(pos_idx,
-                                             data_sharding(mesh, 3, 1))
-                params, opt_state, losses = epoch_scan(
-                    params, opt_state, prj_dev, theta_dev, pos_dev,
-                    th_idx, pos_idx)
+                th_all = np.stack([b[0] for b in blocks]).astype(np.int32)
+                pos_all = np.stack([b[1] for b in blocks]).astype(np.int32)
+                # Chunk the epoch into bounded scan segments: one monolithic
+                # 900-block scan program crashes the TPU worker at the
+                # 529-position/256^3 workload scale (kernel fault on
+                # execution), while <=128-block segments of the SAME step
+                # program run fine — and >=2 segment shapes cost at most two
+                # compiles per level since block counts are epoch-invariant.
+                seg = int(os.environ.get("BDT_PTYCHO_SCAN_SEGMENT", "128"))
+                for s0 in range(0, len(blocks), seg):
+                    th_idx = jnp.asarray(th_all[s0:s0 + seg])
+                    pos_idx = jnp.asarray(pos_all[s0:s0 + seg])
+                    if mesh is not None:
+                        th_idx = jax.device_put(
+                            th_idx, data_sharding(mesh, 2, 1))
+                        pos_idx = jax.device_put(
+                            pos_idx, data_sharding(mesh, 3, 1))
+                    params, opt_state, losses = epoch_scan(
+                        params, opt_state, prj_dev, theta_dev, pos_dev,
+                        th_idx, pos_idx)
                 current_loss = float(losses[-1])
             else:
                 for thetas_i, pos_idx in blocks:
