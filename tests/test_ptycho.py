@@ -87,6 +87,25 @@ def test_ptycho_epoch_scan_matches_host_loop(ptycho_setup):
     np.testing.assert_allclose(d_scan, d_host, rtol=1e-4, atol=1e-12)
 
 
+def test_ptycho_epoch_scan_segments_match(ptycho_setup, monkeypatch):
+    """Chunking the epoch scan into bounded segments (the guard for the
+    workload-scale TPU worker crash) reproduces the monolithic scan: same
+    losses, same final object."""
+    gd, gb, pos, probe_size, data = ptycho_setup
+    common = dict(probe_pos=pos, probe_size=probe_size, obj_size=(24, 24, 24),
+                  data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, minibatch_size=9,
+                  energy_ev=5000, psize_cm=1e-7, probe_type="gaussian",
+                  probe_mag_sigma=3, probe_phase_sigma=3, probe_phase_max=0.5,
+                  save_outputs=False, verbose=False, seed=0,
+                  epoch_in_one_call=True)
+    d_mono, b_mono, i_mono = reconstruct_ptychography(**common)
+    monkeypatch.setenv("BDT_PTYCHO_SCAN_SEGMENT", "2")
+    d_seg, b_seg, i_seg = reconstruct_ptychography(**common)
+    np.testing.assert_allclose(i_seg["loss"], i_mono["loss"], rtol=1e-6)
+    np.testing.assert_allclose(d_seg, d_mono, rtol=1e-5, atol=1e-12)
+
+
 def test_ptycho_dynamic_dropping_drops(ptycho_setup):
     gd, gb, pos, probe_size, data = ptycho_setup
     d, b, info = reconstruct_ptychography(
