@@ -548,13 +548,22 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                             tile_mesh, PartitionSpec(None, "ty", None)))
                         theta_dev = jax.device_put(theta_dev, NamedSharding(
                             tile_mesh, PartitionSpec()))
-                idx = jnp.asarray(order[: n_batch * tot].reshape(n_batch, tot),
-                                  jnp.int32)
-                if mesh is not None:
-                    idx = jax.device_put(idx, data_sharding(mesh, 2, 1))
-                params, opt_state, mask_dev, losses, errs, regs = epoch_scan(
-                    params, opt_state, mask_dev, prj_dev, theta_dev, idx,
-                    jnp.int32(epoch), fwd_plan)
+                idx_all = order[: n_batch * tot].reshape(n_batch, tot)
+                # Chunk the epoch into bounded scan segments: a single XLA
+                # program whose EXECUTION runs ~80 s or longer crashes the
+                # TPU worker (observed at cone_512 ds1, 250 chained 512^3
+                # steps, and at the 900-block ptycho epoch; ~20 s programs
+                # are fine). 64 steps bounds 512^3-class segments to ~20 s;
+                # block counts are epoch-invariant so this costs at most two
+                # compiles per level.
+                seg = int(os.environ.get("BDT_FF_SCAN_SEGMENT", "64"))
+                for s0 in range(0, n_batch, seg):
+                    idx = jnp.asarray(idx_all[s0:s0 + seg], jnp.int32)
+                    if mesh is not None:
+                        idx = jax.device_put(idx, data_sharding(mesh, 2, 1))
+                    params, opt_state, mask_dev, losses, errs, regs = \
+                        epoch_scan(params, opt_state, mask_dev, prj_dev,
+                                   theta_dev, idx, jnp.int32(epoch), fwd_plan)
                 current_loss = float(losses[-1])
                 current_reg = float(regs[-1])
             else:

@@ -126,6 +126,22 @@ def test_epoch_in_one_call_matches_per_batch(small_dataset):
     assert np.allclose(d1, d2, atol=1e-10)
 
 
+def test_epoch_scan_segments_match(small_dataset, monkeypatch):
+    """Chunking the epoch scan into bounded segments (the guard against the
+    long-single-program TPU worker crash) reproduces the monolithic scan."""
+    gd, gb, data = small_dataset
+    common = dict(data=data, theta_end=2 * np.pi, n_epochs=3, alpha_d=0,
+                  alpha_b=0, gamma=0, learning_rate=1e-7, energy_ev=800,
+                  psize_cm=0.67e-7, minibatch_size=5, shrink_cycle=None,
+                  save_outputs=False, verbose=False, propagate_last=False,
+                  seed=0, random_theta=False, epoch_in_one_call=True)
+    d1, b1, i1 = reconstruct_fullfield(**common)
+    monkeypatch.setenv("BDT_FF_SCAN_SEGMENT", "2")
+    d2, b2, i2 = reconstruct_fullfield(**common)
+    assert np.allclose(i1["loss"], i2["loss"], rtol=1e-6)
+    assert np.allclose(d1, d2, atol=1e-10)
+
+
 def test_noisy_multiscale_closed_loop():
     """cone_noisy-style integration: simulate -> Poisson noise -> multiscale
     reconstruct -> FSC sanity (SURVEY §4 items 4-5)."""
