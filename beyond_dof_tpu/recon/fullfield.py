@@ -557,6 +557,11 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                 # block counts are epoch-invariant so this costs at most two
                 # compiles per level.
                 seg = int(os.environ.get("BDT_FF_SCAN_SEGMENT", "64"))
+                # equalize segment sizes so every segment shares ONE compiled
+                # shape when n_batch divides evenly (100 -> 2x50, not 64+36)
+                if n_batch > seg:
+                    n_seg = -(-n_batch // seg)
+                    seg = -(-n_batch // n_seg)
                 for s0 in range(0, n_batch, seg):
                     idx = jnp.asarray(idx_all[s0:s0 + seg], jnp.int32)
                     if mesh is not None:

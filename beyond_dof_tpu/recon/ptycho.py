@@ -460,6 +460,11 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                 # program run fine — and >=2 segment shapes cost at most two
                 # compiles per level since block counts are epoch-invariant.
                 seg = int(os.environ.get("BDT_PTYCHO_SCAN_SEGMENT", "128"))
+                # equalize segment sizes so every segment shares ONE compiled
+                # shape when the count divides evenly
+                if len(blocks) > seg:
+                    n_seg = -(-len(blocks) // seg)
+                    seg = -(-len(blocks) // n_seg)
                 for s0 in range(0, len(blocks), seg):
                     th_idx = jnp.asarray(th_all[s0:s0 + seg])
                     pos_idx = jnp.asarray(pos_all[s0:s0 + seg])
