@@ -20,7 +20,8 @@ import numpy as np
 
 
 def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
-        support_mask=None, auto_epochs=False, final_epochs=None):
+        support_mask=None, auto_epochs=False, final_epochs=None,
+        reg_scale=None):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -77,6 +78,12 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
     if final_epochs is not None:
         # quality-ceiling probe: extend only the full-resolution pass
         rec["n_epoch_final_pass"] = final_epochs
+    if reg_scale is not None:
+        # regularizer-ceiling probe (the reference's own alpha-sweep
+        # methodology, ref plot_loss_terms.py / loss.txt)
+        for k in ("alpha_d", "alpha_b", "gamma"):
+            if rec.get(k):
+                rec[k] = rec[k] * reg_scale
     if mask is not None:
         rec["finite_support_mask"] = mask
     t0 = time.time()
@@ -124,8 +131,11 @@ if __name__ == "__main__":
                          "crit_conv_rate stopping)")
     ap.add_argument("--final-epochs", type=int, default=None,
                     help="override n_epoch_final_pass (quality-ceiling probe)")
+    ap.add_argument("--reg-scale", type=float, default=None,
+                    help="scale alpha_d/alpha_b/gamma (regularizer-ceiling probe)")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
                          support_mask=a.support_mask,
                          auto_epochs=a.auto_epochs,
-                         final_epochs=a.final_epochs)), flush=True)
+                         final_epochs=a.final_epochs,
+                         reg_scale=a.reg_scale)), flush=True)
