@@ -86,12 +86,21 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
     finally:
         pt.print_flush = orig
 
-    radii, fsc = fourier_shell_correlation(d, gd)
+    flat = d.shape[-1] == 1
+    if flat:
+        # 2D (single-slice) presets are scored with the ring correlation
+        # (ref util.py:1013-1048), not 3-D shells
+        from beyond_dof_tpu.ops.quality import fourier_ring_correlation
+        radii, fsc = fourier_ring_correlation(d[..., 0], gd[..., 0])
+        thr = half_bit_threshold(radii, d[..., 0].shape)
+    else:
+        radii, fsc = fourier_shell_correlation(d, gd)
+        thr = half_bit_threshold(radii, d.shape)
     fsc = np.asarray(fsc)[: len(radii)]
-    thr = half_bit_threshold(radii, d.shape)
     above = fsc > thr
     cross = int(np.argmin(above)) if not above.all() else len(radii)
-    plot_fsc(d, gd, save_path=os.path.join(out, "fsc"))
+    plot_fsc(d[..., 0] if flat else d, gd[..., 0] if flat else gd,
+             save_path=os.path.join(out, "fsc"), ring=flat)
     np.save(os.path.join(out, "fsc", "half_bit_threshold.npy"), thr)
 
     result = {

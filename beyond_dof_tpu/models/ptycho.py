@@ -142,6 +142,19 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
     return re, im
 
 
+def safe_mag(re, im, eps=1e-24):
+    """|re + i im| with a finite gradient at exactly zero.
+
+    ``probe_circ_mask`` (ref ptychography.py:92-93) zeroes the field outside
+    the pupil; sqrt has an infinite derivative at 0 and TPU flushes the
+    denormals that keep the CPU path away from it, so the unguarded
+    magnitude turns the whole gradient NaN on TPU. The clamp changes the
+    value by at most sqrt(eps)=1e-12 (data magnitudes are O(1e-3..1e2)).
+    """
+    return jnp.sqrt(jnp.maximum(re * re + im * im, eps))
+
+
 def ptycho_loss(exiting_batch, data_mag_batch, n_pos):
     """Magnitude MSE scaled by total position count (ref ptychography.py:94)."""
-    return jnp.mean((jnp.abs(exiting_batch) - data_mag_batch) ** 2) * n_pos
+    mags = safe_mag(jnp.real(exiting_batch), jnp.imag(exiting_batch))
+    return jnp.mean((mags - data_mag_batch) ** 2) * n_pos

@@ -28,7 +28,7 @@ import optax
 
 from ..constants import PI
 from ..models.ptycho import (compute_pad_arr, ptycho_forward,
-                             ptycho_forward_split)
+                             ptycho_forward_split, safe_mag)
 from ..models.probe import build_probe, real_imag_to_mag_phase
 from ..ops.fresnel import get_kernel
 from ..ops.regularizers import regularization_term, probe_tv
@@ -284,7 +284,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                         probe_mask=probe_mask,
                         free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
                         remat=remat)
-                    mags = jnp.sqrt(re * re + im * im)
+                    mags = safe_mag(re, im)
                     return jnp.mean((mags - mag) ** 2) * n_pos_total
                 exiting = ptycho_forward(
                     params["delta"], params["beta"], th, pos, pr,
@@ -293,7 +293,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                     free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
                     forward_algorithm=forward_algorithm, remat=remat,
                     kernel_size=kernel_size)
-                return jnp.mean((jnp.abs(exiting) - mag) ** 2) * n_pos_total
+                mags = safe_mag(jnp.real(exiting), jnp.imag(exiting))
+                return jnp.mean((mags - mag) ** 2) * n_pos_total
 
             group_losses = jax.vmap(per_group)(theta_block, pos_block, mag_block)
             err = jnp.sum(group_losses) / n_theta
@@ -363,7 +364,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                     probe_mask=probe_mask,
                     free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
                     remat=remat)
-                mags = jnp.sqrt(re * re + im * im)
+                mags = safe_mag(re, im)
                 return jnp.mean((mags - mag_block) ** 2, axis=(1, 2))
             if optimize_probe:
                 pr = jax.lax.complex(params["probe_real"], params["probe_imag"])
@@ -376,7 +377,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                 free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
                 forward_algorithm=forward_algorithm, remat=remat,
                 kernel_size=kernel_size)
-            return jnp.mean((jnp.abs(exiting) - mag_block) ** 2, axis=(1, 2))
+            mags = safe_mag(jnp.real(exiting), jnp.imag(exiting))
+            return jnp.mean((mags - mag_block) ** 2, axis=(1, 2))
 
         if save_outputs:
             summary_locals = dict(obj_size=this_obj_size, probe_size=this_probe_size,

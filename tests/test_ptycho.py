@@ -217,3 +217,22 @@ def test_ptycho_split_engine_matches_complex(ptycho_setup):
     d2, b2, i2 = reconstruct_ptychography(split_complex=True, **common)
     assert np.allclose(i1["loss"], i2["loss"], rtol=0.3)
     assert np.abs(d1 - d2).max() < 5e-7
+
+
+def test_safe_mag_gradient_finite_at_zero():
+    """|psi| must have a finite gradient where the field is exactly zero:
+    probe_circ_mask zeroes the field outside the pupil and TPU flushes the
+    denormals that keep CPU away from sqrt(0) — the unguarded magnitude
+    NaN'd the whole ptycho gradient on TPU (found at the ptycho_2d preset)."""
+    import jax
+    import jax.numpy as jnp
+    from beyond_dof_tpu.models.ptycho import safe_mag
+
+    re = jnp.zeros((4, 4), jnp.float32)
+    im = jnp.zeros((4, 4), jnp.float32)
+    g = jax.grad(lambda r: jnp.sum(safe_mag(r, im)))(re)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # and the value is exact away from zero
+    np.testing.assert_allclose(
+        np.asarray(safe_mag(jnp.float32(3.0), jnp.float32(4.0))), 5.0,
+        rtol=1e-6)
