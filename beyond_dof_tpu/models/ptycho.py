@@ -59,10 +59,36 @@ def extract_patches(vol, pos_batch, probe_size, pad_arr):
     return jax.vmap(one)(jnp.asarray(pos_batch, jnp.int32))
 
 
+def _map_position_chunks(fn, pos_batch, n_dp_batch):
+    """Run ``fn(pos_chunk)`` over ``n_dp_batch``-position chunks via lax.map.
+
+    The reference propagates probe windows in ``n_dp_batch`` chunks so the
+    full position minibatch's patches/wavefields never coexist in memory
+    (ref ptychography.py:40,64-91) — at 529 positions of 72^2 windows over
+    256^3 the unchunked transients exceed HBM (23.8 GB needed). fn is
+    checkpointed so the backward also peaks at one chunk. The last chunk is
+    padded by repeating the final position; padded outputs are sliced off.
+    """
+    m = pos_batch.shape[0]
+    if n_dp_batch is None or n_dp_batch >= m:
+        return fn(pos_batch)
+    n_chunks = -(-m // n_dp_batch)
+    padn = n_chunks * n_dp_batch - m
+    pos_p = pos_batch
+    if padn:
+        pos_p = jnp.concatenate(
+            [pos_batch, jnp.broadcast_to(pos_batch[-1:], (padn, 2))])
+    chunks = pos_p.reshape(n_chunks, n_dp_batch, 2)
+    outs = jax.lax.map(jax.checkpoint(fn), chunks)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((n_chunks * n_dp_batch,) + o.shape[2:])[:m], outs)
+
+
 def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
                    energy_ev, psize_cm, probe_size, pad_arr, h=None,
                    probe_mask=None, free_prop_cm="inf",
-                   forward_algorithm="fresnel", remat=True, kernel_size=17):
+                   forward_algorithm="fresnel", remat=True, kernel_size=17,
+                   n_dp_batch=None):
     """Exit waves for one angle and a minibatch of probe positions.
 
     Rotate -> pad (static) -> window gather -> multislice -> far field
@@ -74,25 +100,32 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
            (int(pad_arr[1, 0]), int(pad_arr[1, 1])), (0, 0))
     delta_rot = jnp.pad(delta_rot, pad)
     beta_rot = jnp.pad(beta_rot, pad)
-    delta_patches = extract_patches(delta_rot, pos_batch, probe_size, pad_arr)
-    beta_patches = extract_patches(beta_rot, pos_batch, probe_size, pad_arr)
-    if forward_algorithm == "fresnel":
-        exiting = multislice_propagate_batch(
-            delta_patches, beta_patches, probe, energy_ev, psize_cm, h=h,
-            free_prop_cm=free_prop_cm, remat=remat)
-    elif forward_algorithm == "fd":
-        exiting = multislice_propagate_fd(
-            delta_patches, beta_patches, probe, energy_ev, psize_cm,
-            free_prop_cm=free_prop_cm, remat=remat)
-    elif forward_algorithm == "conv":
-        # truncated-kernel conv propagator on the probe windows — the cnn
-        # engine's ptycho path (ref cnn_propagator/ptychography.py:74-76)
-        from ..ops.tiled import multislice_propagate_cnn
-        exiting = multislice_propagate_cnn(
-            delta_patches, beta_patches, probe, energy_ev, psize_cm,
-            kernel_size=kernel_size, free_prop_cm=free_prop_cm, remat=remat)
-    else:
+
+    def propagate(pos_chunk):
+        delta_patches = extract_patches(delta_rot, pos_chunk, probe_size,
+                                        pad_arr)
+        beta_patches = extract_patches(beta_rot, pos_chunk, probe_size,
+                                       pad_arr)
+        if forward_algorithm == "fresnel":
+            return multislice_propagate_batch(
+                delta_patches, beta_patches, probe, energy_ev, psize_cm, h=h,
+                free_prop_cm=free_prop_cm, remat=remat)
+        elif forward_algorithm == "fd":
+            return multislice_propagate_fd(
+                delta_patches, beta_patches, probe, energy_ev, psize_cm,
+                free_prop_cm=free_prop_cm, remat=remat)
+        elif forward_algorithm == "conv":
+            # truncated-kernel conv propagator on the probe windows — the cnn
+            # engine's ptycho path (ref cnn_propagator/ptychography.py:74-76)
+            from ..ops.tiled import multislice_propagate_cnn
+            return multislice_propagate_cnn(
+                delta_patches, beta_patches, probe, energy_ev, psize_cm,
+                kernel_size=kernel_size, free_prop_cm=free_prop_cm,
+                remat=remat)
         raise ValueError("forward_algorithm must be 'fresnel', 'fd', or 'conv'")
+
+    exiting = _map_position_chunks(propagate, jnp.asarray(pos_batch),
+                                   n_dp_batch)
     if probe_mask is not None:
         exiting = exiting * probe_mask
     return exiting
@@ -101,7 +134,7 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
 def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                          probe_im, energy_ev, psize_cm, probe_size, pad_arr,
                          h=None, probe_mask=None, free_prop_cm="inf",
-                         remat=True, rotation="auto"):
+                         remat=True, rotation="auto", n_dp_batch=None):
     """Split-complex twin of :func:`ptycho_forward` (fresnel path only).
 
     Complex-dtype-free: rotation/pad/gather are real, the multislice and the
@@ -131,11 +164,18 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
            (int(pad_arr[1, 0]), int(pad_arr[1, 1])), (0, 0))
     delta_rot = jnp.pad(delta_rot, pad)
     beta_rot = jnp.pad(beta_rot, pad)
-    delta_patches = extract_patches(delta_rot, pos_batch, probe_size, pad_arr)
-    beta_patches = extract_patches(beta_rot, pos_batch, probe_size, pad_arr)
-    re, im = multislice_propagate_batch_split(
-        delta_patches, beta_patches, probe_re, probe_im, energy_ev, psize_cm,
-        h=h, free_prop_cm=free_prop_cm, remat=remat)
+
+    def propagate(pos_chunk):
+        delta_patches = extract_patches(delta_rot, pos_chunk, probe_size,
+                                        pad_arr)
+        beta_patches = extract_patches(beta_rot, pos_chunk, probe_size,
+                                       pad_arr)
+        return multislice_propagate_batch_split(
+            delta_patches, beta_patches, probe_re, probe_im, energy_ev,
+            psize_cm, h=h, free_prop_cm=free_prop_cm, remat=remat)
+
+    re, im = _map_position_chunks(propagate, jnp.asarray(pos_batch),
+                                  n_dp_batch)
     if probe_mask is not None:
         re = re * probe_mask
         im = im * probe_mask

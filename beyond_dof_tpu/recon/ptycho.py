@@ -283,7 +283,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                         tuple(this_probe_size), pad_arr, h=h,
                         probe_mask=probe_mask,
                         free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
-                        remat=remat)
+                        remat=remat, n_dp_batch=n_dp_batch)
                     mags = safe_mag(re, im)
                     return jnp.mean((mags - mag) ** 2) * n_pos_total
                 exiting = ptycho_forward(
@@ -292,7 +292,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                     pad_arr, h=h, probe_mask=probe_mask,
                     free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
                     forward_algorithm=forward_algorithm, remat=remat,
-                    kernel_size=kernel_size)
+                    kernel_size=kernel_size, n_dp_batch=n_dp_batch)
                 mags = safe_mag(jnp.real(exiting), jnp.imag(exiting))
                 return jnp.mean((mags - mag) ** 2) * n_pos_total
 

@@ -236,3 +236,36 @@ def test_safe_mag_gradient_finite_at_zero():
     np.testing.assert_allclose(
         np.asarray(safe_mag(jnp.float32(3.0), jnp.float32(4.0))), 5.0,
         rtol=1e-6)
+
+
+def test_ptycho_n_dp_batch_chunking_matches(ptycho_setup):
+    """n_dp_batch position chunking (ref ptychography.py:40,64-91 — bounds
+    the transient memory of the probe-window propagation) reproduces the
+    unchunked forward outputs and gradients. (Engine trajectories are NOT
+    compared: Adam amplifies reassociation-scale gradient differences on
+    near-zero voxels to full +-lr steps.)"""
+    import jax
+    from beyond_dof_tpu.models.ptycho import ptycho_forward
+    gd, gb, pos, probe_size, data = ptycho_setup
+    pad_arr = compute_pad_arr(pos, probe_size, gd.shape)
+    probe = np.ones(probe_size, np.complex64)
+    mag = jnp.abs(jnp.asarray(data[1]))
+
+    def loss(d, b, n_dp):
+        out = ptycho_forward(d, b, jnp.float32(0.4), pos, probe, 5000, 1e-7,
+                             probe_size, pad_arr, n_dp_batch=n_dp)
+        return jnp.mean((jnp.abs(out) - mag) ** 2)
+
+    gd_j, gb_j = jnp.asarray(gd), jnp.asarray(gb)
+    out_full = ptycho_forward(gd_j, gb_j, jnp.float32(0.4), pos, probe, 5000,
+                              1e-7, probe_size, pad_arr, n_dp_batch=None)
+    out_chunk = ptycho_forward(gd_j, gb_j, jnp.float32(0.4), pos, probe, 5000,
+                               1e-7, probe_size, pad_arr, n_dp_batch=4)
+    np.testing.assert_allclose(np.abs(np.asarray(out_chunk)),
+                               np.abs(np.asarray(out_full)), rtol=2e-5,
+                               atol=1e-7)
+    l0, g0 = jax.value_and_grad(loss)(gd_j, gb_j, None)
+    l1, g1 = jax.value_and_grad(loss)(gd_j, gb_j, 4)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-3,
+                               atol=1e-8 * float(np.abs(np.asarray(g0)).max()))
