@@ -461,7 +461,19 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                 # execution), while <=128-block segments of the SAME step
                 # program run fine — and >=2 segment shapes cost at most two
                 # compiles per level since block counts are epoch-invariant.
-                seg = int(os.environ.get("BDT_PTYCHO_SCAN_SEGMENT", "128"))
+                env_seg = os.environ.get("BDT_PTYCHO_SCAN_SEGMENT")
+                if env_seg is not None:
+                    seg = int(env_seg)
+                else:
+                    # bound segments by WORK (position-jobs), not block
+                    # count: execution time scales with T*M per block, and
+                    # ~50k-job programs (~80 s) crash the worker while
+                    # ~8k-job ones (~12 s) are safe
+                    jobs_per_block = max(
+                        1, int(th_all.shape[1]) * int(pos_all.shape[2]))
+                    budget = int(os.environ.get("BDT_PTYCHO_SCAN_JOBS",
+                                                "8192"))
+                    seg = max(1, budget // jobs_per_block)
                 # equalize segment sizes so every segment shares ONE compiled
                 # shape when the count divides evenly
                 if len(blocks) > seg:
