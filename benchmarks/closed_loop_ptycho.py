@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
-        seed=0):
+        seed=0, learning_rate=None):
     from beyond_dof_tpu.configs.presets import PTYCHO_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_ptychography_data,
                                             add_poisson_noise_ptycho)
@@ -61,6 +61,8 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
     rec = dict(p["reconstruct"])
     if n_epochs is not None:
         rec["n_epochs"] = n_epochs
+    if learning_rate is not None:
+        rec["learning_rate"] = learning_rate
     rec.update(output_folder=out, save_outputs=True, verbose=True, seed=seed)
 
     # per-epoch wall times via the engine's own epoch log lines
@@ -129,5 +131,7 @@ if __name__ == "__main__":
     ap.add_argument("--n-theta", type=int, default=None)
     ap.add_argument("--n-epochs", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--learning-rate", type=float, default=None)
     a = ap.parse_args()
-    print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out)), flush=True)
+    print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
+                         learning_rate=a.learning_rate)), flush=True)
