@@ -407,6 +407,18 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
         if use_epoch_scan == "auto":
             from ..ops.pallas_kernels import _on_tpu
             use_epoch_scan = _on_tpu()
+            # the scan keeps the whole |data| stack device-resident; at
+            # 500 angles x 529 x 72^2 that is 5.5 GB and the step OOMs a
+            # 16 GB chip — fall back to per-block host upload beyond a
+            # budget (the cone_ptycho_noisy preset's exact failure)
+            budget_gb = float(os.environ.get("BDT_PTYCHO_DEVICE_DATA_GB",
+                                             "4"))
+            if (use_epoch_scan and isinstance(this_prj_mag, np.ndarray)
+                    and this_prj_mag.nbytes > budget_gb * 2 ** 30):
+                _log("epoch scan disabled: |data| stack %.1f GB exceeds "
+                     "BDT_PTYCHO_DEVICE_DATA_GB=%.1f" %
+                     (this_prj_mag.nbytes / 2 ** 30, budget_gb))
+                use_epoch_scan = False
         use_epoch_scan = (use_epoch_scan and isinstance(this_prj_mag, np.ndarray)
                           and not dynamic_dropping)
         prj_dev = theta_dev = pos_dev = None

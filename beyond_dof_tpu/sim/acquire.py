@@ -237,6 +237,9 @@ def add_poisson_noise_ptycho(data, n_photons_total, n_sample_pixel, grid_size,
     (ref create_noisy_data.py:45-72.) Returns (noisy_data, mean_snr).
     """
     rng = rng or np.random.RandomState()
+    # grid_size: total voxel count (ref uses grid_delta.size); a shape
+    # tuple is accepted and reduced to its product
+    grid_size = int(np.prod(grid_size))
     n_ph = float(n_photons_total) / n_sample_pixel
     n_ex = n_ph * n_sample_pixel
     n_ex *= float(grid_size) / n_sample_pixel
