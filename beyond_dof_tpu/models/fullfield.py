@@ -171,6 +171,11 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
             kernel_size=kernel_size, free_prop_cm=free_prop_cm,
             remat=bool(remat))
+    if forward_algorithm == "fd":
+        from ..ops.multislice import multislice_propagate_fd_split
+        return multislice_propagate_fd_split(
+            delta_rot, beta_rot, probe_re, probe_im, energy_ev, psize_cm,
+            free_prop_cm=free_prop_cm, remat=bool(remat))
     if forward_algorithm == "spherical":
         from ..ops.spherical import multislice_propagate_spherical_split
         return multislice_propagate_spherical_split(
@@ -182,7 +187,7 @@ def rotate_and_project_batch_split(obj_delta, obj_beta, theta_batch,
             free_prop_cm=free_prop_cm,
             plan=spherical_kwargs.get("plan"), remat=bool(remat),
             resample_grad=spherical_kwargs.get("resample_grad", "auto"))
-    raise ValueError("split forward supports 'fresnel', 'conv', and "
+    raise ValueError("split forward supports 'fresnel', 'fd', 'conv', and "
                      "'spherical'; got %r" % (forward_algorithm,))
 
 

@@ -134,8 +134,9 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
 def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                          probe_im, energy_ev, psize_cm, probe_size, pad_arr,
                          h=None, probe_mask=None, free_prop_cm="inf",
-                         remat=True, rotation="auto", n_dp_batch=None):
-    """Split-complex twin of :func:`ptycho_forward` (fresnel path only).
+                         remat=True, rotation="auto", n_dp_batch=None,
+                         forward_algorithm="fresnel"):
+    """Split-complex twin of :func:`ptycho_forward` (fresnel and fd paths).
 
     Complex-dtype-free: rotation/pad/gather are real, the multislice and the
     far-field run through ops.splitfft. ``probe_mask`` must be real-valued.
@@ -170,6 +171,11 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                                         pad_arr)
         beta_patches = extract_patches(beta_rot, pos_chunk, probe_size,
                                        pad_arr)
+        if forward_algorithm == "fd":
+            from ..ops.multislice import multislice_propagate_fd_split
+            return multislice_propagate_fd_split(
+                delta_patches, beta_patches, probe_re, probe_im, energy_ev,
+                psize_cm, free_prop_cm=free_prop_cm, remat=remat)
         return multislice_propagate_batch_split(
             delta_patches, beta_patches, probe_re, probe_im, energy_ev,
             psize_cm, h=h, free_prop_cm=free_prop_cm, remat=remat)

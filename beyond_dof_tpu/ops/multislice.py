@@ -211,6 +211,79 @@ def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
     return wavefront
 
 
+def multislice_propagate_fd_split(grid_delta, grid_beta, probe_re, probe_im,
+                                  energy_ev, psize_cm, free_prop_cm=None,
+                                  remat=True, free_prop_algorithm="TF"):
+    """Split-complex twin of :func:`multislice_propagate_fd`.
+
+    Complex-dtype-free for TPU runtimes that reject complex64 (the complex
+    FD stencil lowers to UNIMPLEMENTED there). Same math and the same
+    reference conventions (k = 2*pi*dz/lmbda and a further *dz on dudz,
+    ref tensorflow_recon/util.py:538-556). Returns ``(re, im)``.
+    """
+    grid_delta = jnp.asarray(grid_delta, jnp.float32)
+    grid_beta = jnp.asarray(grid_beta, jnp.float32)
+    batch, dim_y, dim_x, n_slice = grid_delta.shape
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    delta_nm = np.float32(voxel_nm[-1])
+    size_nm = np.array([dim_y, dim_x, n_slice]) * voxel_nm
+    k = np.float32(2.0 * PI * voxel_nm[-1] / lmbda_nm)
+    inv_area = np.float32(1.0 / (voxel_nm[0] * voxel_nm[1]))
+
+    w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
+                            (batch, dim_y, dim_x))
+    w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
+                            (batch, dim_y, dim_x))
+    delta_z = jnp.moveaxis(grid_delta, -1, 0)
+    beta_z = jnp.moveaxis(grid_beta, -1, 0)
+
+    def lap(w, bg):
+        wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), constant_values=bg)
+        return (4.0 * wp[:, 1:-1, 1:-1]
+                - wp[:, :-2, 1:-1] - wp[:, 2:, 1:-1]
+                - wp[:, 1:-1, :-2] - wp[:, 1:-1, 2:]) * inv_area
+
+    def step(carry, slices):
+        wr, wi = carry
+        d, b = slices
+        # background field is 1 + 0i, matching the reference's pad value
+        lr = lap(wr, 1.0)
+        li = lap(wi, 0.0)
+        # 1/(2ik n) with n = 1 - d - i b:  2ik n = 2k (b + i(1-d))
+        #   => 1/(2ik n) = (b - i(1-d)) / (2k (b^2 + (1-d)^2))
+        one_md = 1.0 - d
+        denom = 2.0 * k * (b * b + one_md * one_md)
+        t1r = (lr * b + li * one_md) / denom
+        t1i = (li * b - lr * one_md) / denom
+        # -ik(n-1)w = k(i d - b) w
+        t2r = k * (-d * wi - b * wr)
+        t2i = k * (d * wr - b * wi)
+        return (wr + (t1r + t2r) * delta_nm,
+                wi + (t1i + t2i) * delta_nm), None
+
+    if remat:
+        step = jax.checkpoint(step)
+    (w_re, w_im), _ = jax.lax.scan(step, (w_re, w_im), (delta_z, beta_z))
+
+    if free_prop_cm is not None:
+        from .splitfft import cfft2_split, apply_kernel_split_perm
+        from .splitfft import permute_kernel_2d
+        if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+            w_re, w_im = cfft2_split(w_re, w_im)
+            w_re = jnp.fft.fftshift(w_re, axes=(-2, -1))
+            w_im = jnp.fft.fftshift(w_im, axes=(-2, -1))
+        else:
+            h2 = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                            (dim_y, dim_x))
+            h2_ifp = permute_kernel_2d(ifftshift2(np.asarray(h2)))
+            w_re, w_im = apply_kernel_split_perm(
+                w_re, w_im,
+                jnp.asarray(np.real(h2_ifp).astype(np.float32)),
+                jnp.asarray(np.imag(h2_ifp).astype(np.float32)))
+    return w_re, w_im
+
+
 def multislice_propagate_projection(grid_delta, grid_beta, probe, energy_ev,
                                     psize_cm, s_r_cm, free_prop_cm=None):
     """Cone-beam 'projection' multislice via Fresnel scaling.

@@ -354,7 +354,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         # complex-free TPU runtimes)
         if split_complex == "auto":
             from ..ops.splitfft import complex_supported
-            use_split = (eff_forward in ("fresnel", "conv", "spherical")
+            use_split = (eff_forward in ("fresnel", "fd", "conv", "spherical")
                          and not complex_supported())
         else:
             use_split = bool(split_complex)

@@ -256,7 +256,7 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
 
         if split_complex == "auto":
             from ..ops.splitfft import complex_supported
-            use_split = (forward_algorithm == "fresnel"
+            use_split = (forward_algorithm in ("fresnel", "fd")
                          and not complex_supported())
         else:
             use_split = bool(split_complex)
@@ -283,7 +283,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                         tuple(this_probe_size), pad_arr, h=h,
                         probe_mask=probe_mask,
                         free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
-                        remat=remat, n_dp_batch=n_dp_batch)
+                        remat=remat, n_dp_batch=n_dp_batch,
+                        forward_algorithm=forward_algorithm)
                     mags = safe_mag(re, im)
                     return jnp.mean((mags - mag) ** 2) * n_pos_total
                 exiting = ptycho_forward(

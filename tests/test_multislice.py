@@ -104,3 +104,25 @@ def test_projection_multislice_runs():
     assert out.shape == (1, 16, 16)
     assert np.isfinite(out).all()
     assert abs(np.abs(out).mean() - 1) < 0.3
+
+
+def test_fd_split_matches_complex():
+    """Split-complex FD twin == complex FD (the complex FD stencil is
+    UNIMPLEMENTED on complex-free TPU runtimes; ptycho/fullfield route
+    forward_algorithm='fd' through the split twin there)."""
+    from beyond_dof_tpu.ops.multislice import multislice_propagate_fd_split
+    gd, gb = cone_foam_phantom(16, delta=1e-8, beta=1e-10)
+    gd, gb = gd[None], gb[None]
+    probe = np.ones(gd.shape[1:3], dtype=np.complex64)
+    for fp in (None, "inf", 1e-4):
+        out_c = np.asarray(multislice_propagate_fd(
+            gd, gb, probe, 5000, 1e-7, free_prop_cm=fp))
+        re, im = multislice_propagate_fd_split(
+            gd, gb, np.real(probe), np.imag(probe), 5000, 1e-7,
+            free_prop_cm=fp)
+        out_s = np.asarray(re) + 1j * np.asarray(im)
+        # atol scaled to the field's DC term (the far-field case has
+        # DC ~ N^2 x mean; off-DC f32 transform noise is ~1e-4 absolute)
+        np.testing.assert_allclose(np.abs(out_s), np.abs(out_c),
+                                   rtol=1e-4,
+                                   atol=5e-6 * float(np.abs(out_c).max()))
