@@ -113,7 +113,7 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
         elif forward_algorithm == "fd":
             return multislice_propagate_fd(
                 delta_patches, beta_patches, probe, energy_ev, psize_cm,
-                free_prop_cm=free_prop_cm, remat=remat)
+                free_prop_cm=free_prop_cm, remat=remat, pad_mode="edge")
         elif forward_algorithm == "conv":
             # truncated-kernel conv propagator on the probe windows — the cnn
             # engine's ptycho path (ref cnn_propagator/ptychography.py:74-76)
@@ -173,9 +173,12 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                                        pad_arr)
         if forward_algorithm == "fd":
             from ..ops.multislice import multislice_propagate_fd_split
+            # 'edge' boundary: ptycho probes are localized, and the
+            # reference's unit-background pad floods the window
             return multislice_propagate_fd_split(
                 delta_patches, beta_patches, probe_re, probe_im, energy_ev,
-                psize_cm, free_prop_cm=free_prop_cm, remat=remat)
+                psize_cm, free_prop_cm=free_prop_cm, remat=remat,
+                pad_mode="edge")
         return multislice_propagate_batch_split(
             delta_patches, beta_patches, probe_re, probe_im, energy_ev,
             psize_cm, h=h, free_prop_cm=free_prop_cm, remat=remat)

@@ -161,7 +161,8 @@ def multislice_propagate_batch(grid_delta, grid_beta, probe, energy_ev, psize_cm
 
 
 def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
-                            free_prop_cm=None, remat=True, free_prop_algorithm="TF"):
+                            free_prop_cm=None, remat=True,
+                            free_prop_algorithm="TF", pad_mode="background"):
     """Finite-difference beam-propagation-method multislice variant.
 
     Per slice (ref tensorflow_recon/util.py:511-579):
@@ -190,7 +191,18 @@ def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
     beta_z = jnp.moveaxis(grid_beta, -1, 0)
 
     def laplacian(w):
-        wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), constant_values=1.0 + 0.0j)
+        # 'background' pads with the unit plane-wave background like the
+        # reference (ref util.py:549) — only valid when the field at the
+        # patch boundary IS the background. 'edge' replicates the boundary
+        # row (zero normal gradient): the sane BPM boundary for localized
+        # probes (a gaussian ptycho probe is ~0 at the edge; padding 1.0
+        # injects a spurious source that floods the window over hundreds
+        # of slices — found at the cone_ptycho_fd workload).
+        if pad_mode == "edge":
+            wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        else:
+            wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)),
+                         constant_values=1.0 + 0.0j)
         return (4.0 * wp[:, 1:-1, 1:-1]
                 - wp[:, :-2, 1:-1] - wp[:, 2:, 1:-1]
                 - wp[:, 1:-1, :-2] - wp[:, 1:-1, 2:]) * inv_area
@@ -213,7 +225,8 @@ def multislice_propagate_fd(grid_delta, grid_beta, probe, energy_ev, psize_cm,
 
 def multislice_propagate_fd_split(grid_delta, grid_beta, probe_re, probe_im,
                                   energy_ev, psize_cm, free_prop_cm=None,
-                                  remat=True, free_prop_algorithm="TF"):
+                                  remat=True, free_prop_algorithm="TF",
+                                  pad_mode="background"):
     """Split-complex twin of :func:`multislice_propagate_fd`.
 
     Complex-dtype-free for TPU runtimes that reject complex64 (the complex
@@ -239,7 +252,11 @@ def multislice_propagate_fd_split(grid_delta, grid_beta, probe_re, probe_im,
     beta_z = jnp.moveaxis(grid_beta, -1, 0)
 
     def lap(w, bg):
-        wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), constant_values=bg)
+        # see the complex twin for the 'background' vs 'edge' boundary note
+        if pad_mode == "edge":
+            wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        else:
+            wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1)), constant_values=bg)
         return (4.0 * wp[:, 1:-1, 1:-1]
                 - wp[:, :-2, 1:-1] - wp[:, 2:, 1:-1]
                 - wp[:, 1:-1, :-2] - wp[:, 1:-1, 2:]) * inv_area
