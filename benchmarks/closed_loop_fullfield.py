@@ -21,7 +21,7 @@ import numpy as np
 
 def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         support_mask=None, auto_epochs=False, final_epochs=None,
-        reg_scale=None):
+        reg_scale=None, n_photons=None, sim_cache=None):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -45,11 +45,18 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         mask = cone_support_mask(gd.shape[0])
 
     sim = dict(p["simulate"])
-    n_photons = sim.pop("n_photons_total", None)
+    preset_photons = sim.pop("n_photons_total", None)
+    # --n-photons overrides the preset budget (the reference's own
+    # dose-fraction sweep, ref create_noisy_data.py:20 n_ph_tx in
+    # {1.75e6, 1.75e7, 1.75e8}); the cache stores NOISELESS data so one
+    # simulation serves every dose
+    if n_photons is None:
+        n_photons = preset_photons
     if n_theta:
         sim["n_theta"] = n_theta
     t0 = time.time()
-    cache = os.path.join(out, "sim_cache_%d.npy" % sim.get("n_theta", 0))
+    cache = sim_cache or os.path.join(out,
+                                      "sim_cache_%d.npy" % sim.get("n_theta", 0))
     if os.path.exists(cache):
         data = np.load(cache)
         print("sim cache hit: %s" % cache, flush=True)
@@ -60,6 +67,7 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         batch_size = 50 if n <= 128 else (10 if n <= 256 else 4)
         data = create_fullfield_data(gd, gb, batch_size=batch_size, **sim)
         np.save(cache, np.asarray(data))
+    mean_snr = None
     if n_photons:
         n_sample_pixel = int(np.count_nonzero(gd > 1e-10))
         data, mean_snr = add_poisson_noise_fullfield(
@@ -105,6 +113,8 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         "resolution_frac_nyquist": float(radii[min(cross, len(radii) - 1)]
                                          / radii[-1]),
         "n_theta": sim.get("n_theta"), "sim_seconds": round(t_sim, 1),
+        "n_photons_total": n_photons,
+        "mean_snr": None if mean_snr is None else float(mean_snr),
         "recon_seconds": round(t_rec, 1),
         "final_loss": float(info["loss"][-1]),
         "loss_first_last_per_level": {
@@ -133,9 +143,16 @@ if __name__ == "__main__":
                     help="override n_epoch_final_pass (quality-ceiling probe)")
     ap.add_argument("--reg-scale", type=float, default=None,
                     help="scale alpha_d/alpha_b/gamma (regularizer-ceiling probe)")
+    ap.add_argument("--n-photons", type=float, default=None,
+                    help="override the preset photon budget (dose sweep, "
+                         "ref create_noisy_data.py:20)")
+    ap.add_argument("--sim-cache", default=None,
+                    help="path of the noiseless sim cache to share across "
+                         "dose-sweep runs")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
                          support_mask=a.support_mask,
                          auto_epochs=a.auto_epochs,
                          final_epochs=a.final_epochs,
-                         reg_scale=a.reg_scale)), flush=True)
+                         reg_scale=a.reg_scale, n_photons=a.n_photons,
+                         sim_cache=a.sim_cache)), flush=True)

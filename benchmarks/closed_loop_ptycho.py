@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
-        seed=0, learning_rate=None):
+        seed=0, learning_rate=None, reg_scale=None):
     from beyond_dof_tpu.configs.presets import PTYCHO_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_ptychography_data,
                                             add_poisson_noise_ptycho)
@@ -63,6 +63,13 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
         rec["n_epochs"] = n_epochs
     if learning_rate is not None:
         rec["learning_rate"] = learning_rate
+    if reg_scale is not None:
+        # regularizer-ceiling probe (the reference's own alpha-sweep
+        # methodology, ref plot_loss_terms.py / loss.txt) — the chain that
+        # took full-field cone_256 from 49.6% -> 100% of FSC shells
+        for k in ("alpha_d", "alpha_b", "gamma"):
+            if rec.get(k):
+                rec[k] = rec[k] * reg_scale
     rec.update(output_folder=out, save_outputs=True, verbose=True, seed=seed)
 
     # per-epoch wall times via the engine's own epoch log lines
@@ -132,6 +139,9 @@ if __name__ == "__main__":
     ap.add_argument("--n-epochs", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--learning-rate", type=float, default=None)
+    ap.add_argument("--reg-scale", type=float, default=None,
+                    help="multiply the preset's alpha_d/alpha_b/gamma")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
-                         learning_rate=a.learning_rate)), flush=True)
+                         learning_rate=a.learning_rate,
+                         reg_scale=a.reg_scale)), flush=True)

@@ -59,15 +59,17 @@ def extract_patches(vol, pos_batch, probe_size, pad_arr):
     return jax.vmap(one)(jnp.asarray(pos_batch, jnp.int32))
 
 
-def _map_position_chunks(fn, pos_batch, n_dp_batch):
+def _map_position_chunks(fn, pos_batch, n_dp_batch, remat=True):
     """Run ``fn(pos_chunk)`` over ``n_dp_batch``-position chunks via lax.map.
 
     The reference propagates probe windows in ``n_dp_batch`` chunks so the
     full position minibatch's patches/wavefields never coexist in memory
     (ref ptychography.py:40,64-91) — at 529 positions of 72^2 windows over
-    256^3 the unchunked transients exceed HBM (23.8 GB needed). fn is
-    checkpointed so the backward also peaks at one chunk. The last chunk is
-    padded by repeating the final position; padded outputs are sliced off.
+    256^3 the unchunked transients exceed HBM (23.8 GB needed). With
+    ``remat`` fn is checkpointed so the backward also peaks at one chunk;
+    remat=False callers trade that memory bound for no recompute. The last
+    chunk is padded by repeating the final position; padded outputs are
+    sliced off.
     """
     m = pos_batch.shape[0]
     if n_dp_batch is None or n_dp_batch >= m:
@@ -79,7 +81,7 @@ def _map_position_chunks(fn, pos_batch, n_dp_batch):
         pos_p = jnp.concatenate(
             [pos_batch, jnp.broadcast_to(pos_batch[-1:], (padn, 2))])
     chunks = pos_p.reshape(n_chunks, n_dp_batch, 2)
-    outs = jax.lax.map(jax.checkpoint(fn), chunks)
+    outs = jax.lax.map(jax.checkpoint(fn) if remat else fn, chunks)
     return jax.tree_util.tree_map(
         lambda o: o.reshape((n_chunks * n_dp_batch,) + o.shape[2:])[:m], outs)
 
@@ -88,7 +90,7 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
                    energy_ev, psize_cm, probe_size, pad_arr, h=None,
                    probe_mask=None, free_prop_cm="inf",
                    forward_algorithm="fresnel", remat=True, kernel_size=17,
-                   n_dp_batch=None):
+                   n_dp_batch=None, pad_mode="edge"):
     """Exit waves for one angle and a minibatch of probe positions.
 
     Rotate -> pad (static) -> window gather -> multislice -> far field
@@ -111,9 +113,13 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
                 delta_patches, beta_patches, probe, energy_ev, psize_cm, h=h,
                 free_prop_cm=free_prop_cm, remat=remat)
         elif forward_algorithm == "fd":
+            # default 'edge' (Neumann): ptycho probes are localized and the
+            # reference's unit-background pad (ref util.py:549) floods the
+            # window; pad_mode='background' keeps the reference boundary
+            # reachable for parity A/Bs
             return multislice_propagate_fd(
                 delta_patches, beta_patches, probe, energy_ev, psize_cm,
-                free_prop_cm=free_prop_cm, remat=remat, pad_mode="edge")
+                free_prop_cm=free_prop_cm, remat=remat, pad_mode=pad_mode)
         elif forward_algorithm == "conv":
             # truncated-kernel conv propagator on the probe windows — the cnn
             # engine's ptycho path (ref cnn_propagator/ptychography.py:74-76)
@@ -125,7 +131,7 @@ def ptycho_forward(obj_delta, obj_beta, theta, pos_batch, probe,
         raise ValueError("forward_algorithm must be 'fresnel', 'fd', or 'conv'")
 
     exiting = _map_position_chunks(propagate, jnp.asarray(pos_batch),
-                                   n_dp_batch)
+                                   n_dp_batch, remat=remat)
     if probe_mask is not None:
         exiting = exiting * probe_mask
     return exiting
@@ -135,7 +141,7 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                          probe_im, energy_ev, psize_cm, probe_size, pad_arr,
                          h=None, probe_mask=None, free_prop_cm="inf",
                          remat=True, rotation="auto", n_dp_batch=None,
-                         forward_algorithm="fresnel"):
+                         forward_algorithm="fresnel", pad_mode="edge"):
     """Split-complex twin of :func:`ptycho_forward` (fresnel and fd paths).
 
     Complex-dtype-free: rotation/pad/gather are real, the multislice and the
@@ -173,18 +179,20 @@ def ptycho_forward_split(obj_delta, obj_beta, theta, pos_batch, probe_re,
                                        pad_arr)
         if forward_algorithm == "fd":
             from ..ops.multislice import multislice_propagate_fd_split
-            # 'edge' boundary: ptycho probes are localized, and the
-            # reference's unit-background pad floods the window
+            # default 'edge' boundary: ptycho probes are localized, and the
+            # reference's unit-background pad floods the window;
+            # pad_mode='background' restores the reference boundary for
+            # parity A/Bs
             return multislice_propagate_fd_split(
                 delta_patches, beta_patches, probe_re, probe_im, energy_ev,
                 psize_cm, free_prop_cm=free_prop_cm, remat=remat,
-                pad_mode="edge")
+                pad_mode=pad_mode)
         return multislice_propagate_batch_split(
             delta_patches, beta_patches, probe_re, probe_im, energy_ev,
             psize_cm, h=h, free_prop_cm=free_prop_cm, remat=remat)
 
     re, im = _map_position_chunks(propagate, jnp.asarray(pos_batch),
-                                  n_dp_batch)
+                                  n_dp_batch, remat=remat)
     if probe_mask is not None:
         re = re * probe_mask
         im = im * probe_mask

@@ -49,21 +49,31 @@ def modulate(wavefront, delta_slice, beta_slice, k):
     return wavefront * c
 
 
-def _free_space_final(wavefront, free_prop_cm, lmbda_nm, voxel_nm, grid_shape,
-                      size_nm, algorithm="TF"):
-    """Final sample-to-detector free-space step (ref util.py:490-508)."""
-    if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
-        return jnp.fft.fftshift(jnp.fft.fft2(wavefront), axes=(-2, -1))
-    dist_nm = free_prop_cm * 1e7
+def _final_kernel(dist_nm, lmbda_nm, voxel_nm, grid_shape, size_nm,
+                  algorithm="TF"):
+    """Final free-space kernel with the TF/IR/auto selection rule
+    (ref util.py:397-404,490-508). Shared by the complex and split paths so
+    both honor ``free_prop_algorithm`` identically."""
     if algorithm == "auto":
         mean_voxel_nm = np.prod(voxel_nm) ** (1.0 / 3)
         l = np.prod(size_nm) ** (1.0 / 3)
         crit_samp = lmbda_nm * dist_nm / l
         algorithm = "TF" if mean_voxel_nm > crit_samp else "IR"
     if algorithm == "TF":
-        h = get_kernel(dist_nm, lmbda_nm, voxel_nm, grid_shape)
-    else:
-        h = get_kernel_ir(dist_nm, lmbda_nm, voxel_nm, grid_shape)
+        return get_kernel(dist_nm, lmbda_nm, voxel_nm, grid_shape)
+    if algorithm == "IR":
+        return get_kernel_ir(dist_nm, lmbda_nm, voxel_nm, grid_shape)
+    raise ValueError("free_prop_algorithm must be 'TF', 'IR', or 'auto'; "
+                     "got %r" % (algorithm,))
+
+
+def _free_space_final(wavefront, free_prop_cm, lmbda_nm, voxel_nm, grid_shape,
+                      size_nm, algorithm="TF"):
+    """Final sample-to-detector free-space step (ref util.py:490-508)."""
+    if isinstance(free_prop_cm, str) and free_prop_cm == "inf":
+        return jnp.fft.fftshift(jnp.fft.fft2(wavefront), axes=(-2, -1))
+    h = _final_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm, grid_shape,
+                      size_nm, algorithm)
     h_if = jnp.asarray(ifftshift2(h))
     return jnp.fft.ifft2(jnp.fft.fft2(wavefront) * h_if)
 
@@ -291,8 +301,8 @@ def multislice_propagate_fd_split(grid_delta, grid_beta, probe_re, probe_im,
             w_re = jnp.fft.fftshift(w_re, axes=(-2, -1))
             w_im = jnp.fft.fftshift(w_im, axes=(-2, -1))
         else:
-            h2 = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
-                            (dim_y, dim_x))
+            h2 = _final_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                               (dim_y, dim_x), size_nm, free_prop_algorithm)
             h2_ifp = permute_kernel_2d(ifftshift2(np.asarray(h2)))
             w_re, w_im = apply_kernel_split_perm(
                 w_re, w_im,
@@ -416,7 +426,8 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
                                      remat=True, grids_zfirst=False,
-                                     use_pallas=None):
+                                     use_pallas=None,
+                                     free_prop_algorithm="TF"):
     """Split-complex multislice: identical physics, no complex dtypes.
 
     For TPU backends without complex64 support (SURVEY §7 hard part; the
@@ -533,8 +544,8 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
             w_re = jnp.fft.fftshift(w_re, axes=(-2, -1))
             w_im = jnp.fft.fftshift(w_im, axes=(-2, -1))
         else:
-            h2 = get_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
-                            (dim_y, dim_x))
+            h2 = _final_kernel(free_prop_cm * 1e7, lmbda_nm, voxel_nm,
+                               (dim_y, dim_x), size_nm, free_prop_algorithm)
             h2_ifp = permute_kernel_2d(ifftshift2(np.asarray(h2)))
             w_re, w_im = apply_kernel_split_perm(
                 w_re, w_im,

@@ -116,7 +116,11 @@ def _build_step(tx, probe_const, energy_ev, psize_cm, free_prop_cm, h,
                 forward_algorithm=forward_algorithm,
                 kernel_size=kernel_size, tile_mesh=tile_mesh,
                 rotation_grad=rotation_grad, **fwd_extra)
-            err = jnp.mean((jnp.sqrt(re * re + im * im) - prj_mag) ** 2)
+            # guarded magnitude: TPU flushes denormals, so an exactly-zero
+            # field (e.g. pupil-masked probe) makes sqrt's gradient NaN —
+            # same failure safe_mag fixed for ptycho
+            from ..models.ptycho import safe_mag
+            err = jnp.mean((safe_mag(re, im) - prj_mag) ** 2)
         else:
             if optimize_probe:
                 probe = jax.lax.complex(params["probe_real"],

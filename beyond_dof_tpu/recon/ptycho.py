@@ -364,7 +364,8 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                     tuple(this_probe_size), pad_arr, h=h,
                     probe_mask=probe_mask,
                     free_prop_cm="inf" if free_prop_cm is None else free_prop_cm,
-                    remat=remat)
+                    remat=remat, n_dp_batch=n_dp_batch,
+                    forward_algorithm=forward_algorithm)
                 mags = safe_mag(re, im)
                 return jnp.mean((mags - mag_block) ** 2, axis=(1, 2))
             if optimize_probe:
