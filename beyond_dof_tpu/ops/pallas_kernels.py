@@ -47,6 +47,27 @@ __all__ = ["multislice_pallas_split", "multislice_pallas_invertible",
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def set_kernel_precision(name):
+    """Set the MXU precision of the in-kernel Karatsuba matmuls.
+
+    Mirrors ``splitfft.set_precision`` (and the BDT_DFT_PRECISION env
+    gate): 'HIGHEST' = 6 bf16 passes per f32 matmul, 'HIGH' = 3
+    (error-compensated bf16x3). Mosaic lowers the dot precision the same
+    way XLA does, so the fused kernel gets the identical accuracy model
+    as the XLA split path at each setting.
+    """
+    global _PREC
+    _PREC = (getattr(jax.lax.Precision, name.upper())
+             if isinstance(name, str) else name)
+    return _PREC
+
+
+_env_prec = __import__("os").environ.get("BDT_DFT_PRECISION")
+if _env_prec:
+    set_kernel_precision(_env_prec)
+del _env_prec
+
+
 def pallas_shape_ok(dim_y, dim_x, base=None):
     """True when (Y, X) planes are handled by the fused radix kernels:
     square, and either <= one MXU tile (dense base matmul) or a
