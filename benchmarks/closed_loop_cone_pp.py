@@ -24,7 +24,8 @@ import numpy as np
 
 
 def run(n_epochs=3, n_theta=500, size=256,
-        out="benchmarks/artifacts/cone_pp_256", seed=0, no_reg=False):
+        out="benchmarks/artifacts/cone_pp_256", seed=0, no_reg=False,
+        reg_scale=None):
     import jax.numpy as jnp
     from beyond_dof_tpu.constants import PI
     from beyond_dof_tpu.models.phantom import cone_foam_phantom
@@ -92,6 +93,14 @@ def run(n_epochs=3, n_theta=500, size=256,
         # reaches 3.5e-9 in 60 steps (engine exonerated). This run records
         # the recoverable-quality ceiling of the workload.
         rec.update(alpha_d=0, alpha_b=0, gamma=0)
+    if reg_scale is not None:
+        # normalized regularizers: the diagnostic measured the preset's reg
+        # term 13x the data term at init (diagnostic.json) — scaling the
+        # alphas by 1/13 balances the objective instead of removing it
+        # (the middle ground between the preset floor and alpha=0 drift)
+        for key in ("alpha_d", "alpha_b", "gamma"):
+            if rec.get(key):
+                rec[key] = rec[key] * reg_scale
     epoch_times = []
     t_mark = [time.time()]
 
@@ -142,6 +151,10 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--out", default="benchmarks/artifacts/cone_pp_256")
     p.add_argument("--no-reg", action="store_true")
+    p.add_argument("--reg-scale", type=float, default=None,
+                   help="scale the preset alphas (e.g. 0.077 = the "
+                        "diagnostic's 13x imbalance normalized)")
     a = p.parse_args()
     print(json.dumps(run(a.n_epochs, a.n_theta, a.size, a.out,
-                         no_reg=a.no_reg)), flush=True)
+                         no_reg=a.no_reg, reg_scale=a.reg_scale)),
+          flush=True)
