@@ -31,6 +31,18 @@ def main():
         out["train_unit"] = "slices/s (256^3 value_and_grad, invertible bwd)"
     except Exception as e:  # the primary metric must survive regardless
         out["train_error"] = repr(e)
+    try:
+        # record the environment with the row (an earlier 1024^2 record
+        # proved irreproducible across a libtpu/relay change)
+        import jax
+        out["env"] = {
+            "jax": jax.__version__,
+            "platform": jax.devices()[0].platform,
+            "platform_version":
+                jax.devices()[0].client.platform_version.replace("\n", "; "),
+        }
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
