@@ -81,26 +81,29 @@ def flop_model(n, n_steps_per_slice=1):
 
 
 def measure(fwd, args, iters, reps=3):
-    """Device-side fori_loop differencing (axon relay timing rule)."""
+    """Device-side fori_loop differencing (axon relay timing rule).
+
+    The iteration count is a TRACED argument (fori_loop lowers to
+    while_loop), so one compiled program serves both loop lengths — one
+    remote compile per row instead of two."""
     import jax
     import jax.numpy as jnp
 
-    def make_timed(nit):
-        @jax.jit
-        def timed(gd, gb, pr, pi):
-            def body(_, w):
-                re, im = fwd(gd, gb, w[0], w[1])
-                return jnp.stack([re, im])
-            w = jax.lax.fori_loop(0, nit, body, jnp.stack([pr, pi]))
-            return jnp.sum(w[0] ** 2 + w[1] ** 2)
-        return timed
+    @jax.jit
+    def timed(n, gd, gb, pr, pi):
+        def body(_, w):
+            re, im = fwd(gd, gb, w[0], w[1])
+            return jnp.stack([re, im])
+        w = jax.lax.fori_loop(0, n, body, jnp.stack([pr, pi]))
+        return jnp.sum(w[0] ** 2 + w[1] ** 2)
 
-    t1, t2 = make_timed(iters), make_timed(2 * iters)
-    float(t1(*args)); float(t2(*args))
+    t0 = time.time()
+    float(timed(iters, *args)); float(timed(2 * iters, *args))
+    print("  [compile+warmup %.0f s]" % (time.time() - t0), flush=True)
     best = float("inf")
     for _ in range(reps):
-        t0 = time.time(); float(t1(*args)); dt1 = time.time() - t0
-        t0 = time.time(); float(t2(*args)); dt2 = time.time() - t0
+        t0 = time.time(); float(timed(iters, *args)); dt1 = time.time() - t0
+        t0 = time.time(); float(timed(2 * iters, *args)); dt2 = time.time() - t0
         best = min(best, (dt2 - dt1) / iters)
     return best
 
@@ -110,21 +113,20 @@ def measure_grad(loss, args, iters, reps=3):
     import jax.numpy as jnp
     g = jax.grad(lambda gd, gb, pr, pi: loss(gd, gb, pr, pi))
 
-    def make_timed(nit):
-        @jax.jit
-        def timed(gd, gb, pr, pi):
-            def body(_, acc):
-                return acc + g(gd, gb, pr, pi)
-            return jnp.sum(jax.lax.fori_loop(
-                0, nit, body, jnp.zeros_like(gd)) ** 2)
-        return timed
+    @jax.jit
+    def timed(n, gd, gb, pr, pi):
+        def body(_, acc):
+            return acc + g(gd, gb, pr, pi)
+        return jnp.sum(jax.lax.fori_loop(
+            0, n, body, jnp.zeros_like(gd)) ** 2)
 
-    t1, t2 = make_timed(iters), make_timed(2 * iters)
-    float(t1(*args)); float(t2(*args))
+    t0 = time.time()
+    float(timed(iters, *args)); float(timed(2 * iters, *args))
+    print("  [compile+warmup %.0f s]" % (time.time() - t0), flush=True)
     best = float("inf")
     for _ in range(reps):
-        t0 = time.time(); float(t1(*args)); dt1 = time.time() - t0
-        t0 = time.time(); float(t2(*args)); dt2 = time.time() - t0
+        t0 = time.time(); float(timed(iters, *args)); dt1 = time.time() - t0
+        t0 = time.time(); float(timed(2 * iters, *args)); dt2 = time.time() - t0
         best = min(best, (dt2 - dt1) / iters)
     return best
 
