@@ -91,7 +91,16 @@ def run(n_epochs=30, n_theta=500, out="benchmarks/artifacts/probe_retrieval",
     t_sim = time.time() - t0
 
     base = dict(preset["reconstruct"])
-    base.update(n_epochs=n_epochs, save_outputs=True, verbose=True, seed=seed)
+    # Match the engine's forward convention to the simulator's: the sim
+    # follows the reference's NumPy twin (NO propagation after the last
+    # slice, ref npfuncs.py:40-41) while the engine default follows the
+    # reference's TF engine (propagates every slice, ref util.py:465-483).
+    # The reference's own closed loop carries this mismatch; it is invisible
+    # for plane probes (~1e-11 loss floor at 800 eV / 0.67 nm voxels) but is
+    # a ~7e-7 floor for structured probes — large enough to confound the
+    # oracle-vs-retrieved comparison this artifact exists for.
+    base.update(n_epochs=n_epochs, save_outputs=True, verbose=True, seed=seed,
+                propagate_last=False)
 
     result = {"metric": "probe_retrieval_adhesin", "n_theta": n_theta,
               "n_epochs": n_epochs, "sim_seconds": round(t_sim, 1),

@@ -52,14 +52,56 @@ def set_kernel_precision(name):
 
     Mirrors ``splitfft.set_precision`` (and the BDT_DFT_PRECISION env
     gate): 'HIGHEST' = 6 bf16 passes per f32 matmul, 'HIGH' = 3
-    (error-compensated bf16x3). Mosaic lowers the dot precision the same
-    way XLA does, so the fused kernel gets the identical accuracy model
-    as the XLA split path at each setting.
+    (error-compensated bf16x3), 'DEFAULT' = 1 (plain bf16).
+
+    Mosaic only lowers HIGHEST f32 dots (it rejects ``precision=HIGH``,
+    jax 0.9.0), so HIGH/DEFAULT are implemented MANUALLY inside the
+    kernel: operands are split into hi/lo bfloat16 halves on the VPU and
+    the product assembled from single-pass bf16 MXU dots —
+    a@b ~= ah@bh + ah@bl + al@bh, the same bf16_3x algorithm XLA emits
+    for HIGH, so the fused kernel keeps the identical accuracy model as
+    the XLA split path at each setting.
     """
     global _PREC
     _PREC = (getattr(jax.lax.Precision, name.upper())
              if isinstance(name, str) else name)
     return _PREC
+
+
+def _bf16_split(x):
+    """hi/lo bfloat16 decomposition of an f32 array: x ~= hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mxu_dot(a, b):
+    """a @ b on the MXU honoring _PREC (manual bf16x3/bf16x1 for HIGH/
+    DEFAULT — Mosaic rejects those as dot precisions)."""
+    if _PREC == jax.lax.Precision.HIGHEST:
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    if _PREC == jax.lax.Precision.HIGH:
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return d(ah, bh)
+
+
+def _mxu_lmul(m, a):
+    """einsum('ij,...jx->...ix', m, a) honoring _PREC like _mxu_dot."""
+    e = lambda x, y: jnp.einsum("ij,...jx->...ix", x, y,
+                                preferred_element_type=jnp.float32)
+    if _PREC == jax.lax.Precision.HIGHEST:
+        return jnp.einsum("ij,...jx->...ix", m, a,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    mh, ml = _bf16_split(m)
+    ah, al = _bf16_split(a)
+    if _PREC == jax.lax.Precision.HIGH:
+        return e(mh, ah) + e(mh, al) + e(ml, ah)
+    return e(mh, ah)
 
 
 _env_prec = __import__("os").environ.get("BDT_DFT_PRECISION")
@@ -94,21 +136,17 @@ def _on_tpu():
 
 def _kar_right(re, im, wr, wi, ws):
     """(re + i im) @ (wr + i wi) via 3 matmuls; ws = wr + wi."""
-    t1 = jnp.dot(re, wr, precision=_PREC, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(im, wi, precision=_PREC, preferred_element_type=jnp.float32)
-    t3 = jnp.dot(re + im, ws, precision=_PREC,
-                 preferred_element_type=jnp.float32)
+    t1 = _mxu_dot(re, wr)
+    t2 = _mxu_dot(im, wi)
+    t3 = _mxu_dot(re + im, ws)
     return t1 - t2, t3 - t1 - t2
 
 
 def _kar_left(re, im, wr, wi, ws):
     """(wr + i wi) applied along axis -2 via 3 matmuls (DFT mats symmetric)."""
-    def lmul(m, a):
-        return jnp.einsum("ij,...jx->...ix", m, a, precision=_PREC,
-                          preferred_element_type=jnp.float32)
-    t1 = lmul(wr, re)
-    t2 = lmul(wi, im)
-    t3 = lmul(ws, re + im)
+    t1 = _mxu_lmul(wr, re)
+    t2 = _mxu_lmul(wi, im)
+    t3 = _mxu_lmul(ws, re + im)
     return t1 - t2, t3 - t1 - t2
 
 

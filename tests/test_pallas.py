@@ -115,6 +115,26 @@ def test_pallas_shape_ok():
     assert pallas_shape_ok(32, 32, base=8)
 
 
+@pytest.mark.parametrize("mode,tol", [("high", 2e-3), ("default", 5e-2)])
+def test_pallas_precision_modes_track_highest(mode, tol):
+    """The manual bf16x3 (HIGH) / bf16x1 (DEFAULT) in-kernel dots — Mosaic
+    rejects those as dot precisions, so they are built from hi/lo bfloat16
+    splits — stay within the expected error band of the HIGHEST kernel."""
+    from beyond_dof_tpu.ops import pallas_kernels as pk
+    delta, beta, w_re, w_im, hr, hi, k, ev, ps = _setup(32, 5, 2, base=8)
+    args = (jnp.asarray(delta), jnp.asarray(beta), w_re, w_im, hr, hi, k,
+            True, 8)
+    ref_re, ref_im = multislice_pallas_invertible(*args)
+    try:
+        pk.set_kernel_precision(mode)
+        out_re, out_im = multislice_pallas_invertible(*args)
+    finally:
+        pk.set_kernel_precision("highest")
+    err = max(np.abs(np.asarray(out_re) - np.asarray(ref_re)).max(),
+              np.abs(np.asarray(out_im) - np.asarray(ref_im)).max())
+    assert 0 < err < tol  # nonzero: the reduced-precision path really ran
+
+
 def test_blocked_two_pass_matches_fused():
     """The blocked X-pass/Y-pass pipeline == the fully-fused kernel (and
     the complex scan), exercised with multi-level radix panels."""
