@@ -503,11 +503,14 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      pallas_shape_ok, _on_tpu)
         eligible = pallas_shape_ok(dim_y, dim_x)
         if use_pallas is None:
-            # measured on v5e-1: the fused kernel wins up to 512^2
-            # (30.1k vs 19.9k slices/s fwd) but loses at 1024^2 (6.3k vs
-            # 11.3k — VMEM pressure defeats pipelining); auto-route
-            # accordingly, forced use_pallas=True still allowed
-            use_pallas = eligible and dim_y <= 512 and _on_tpu()
+            # measured on v5e-1 (libtpu cl/831091709): the fused kernel
+            # wins at every eligible size — 512^2 fwd 30.1k vs 19.9k XLA
+            # split; 1024^2 fwd 6.8k vs 5.4k (HIGHEST) and 10.1k vs 7.7k
+            # (bf16x3) — round 2's 11.3k XLA row that motivated a 512 cap
+            # here was retired as irreproducible and roofline-impossible
+            # (BASELINE.md MFU table). >=2048^2 keeps the XLA split path:
+            # the VMEM-resident field alone is 33.5 MB and unmeasured
+            use_pallas = eligible and dim_y <= 1024 and _on_tpu()
         elif use_pallas and not eligible:
             raise ValueError("use_pallas needs square power-of-two planes; "
                              "got (%d, %d)" % (dim_y, dim_x))
