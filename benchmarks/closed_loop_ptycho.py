@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
-        seed=0, learning_rate=None, reg_scale=None):
+        seed=0, learning_rate=None, reg_scale=None, n_photons=None,
+        sim_cache=None):
     from beyond_dof_tpu.configs.presets import PTYCHO_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_ptychography_data,
                                             add_poisson_noise_ptycho)
@@ -40,11 +41,18 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
     probe_pos = np.asarray(p["probe_pos"], dtype=int)
 
     sim = dict(p["simulate"])
-    n_photons = sim.pop("n_photons_total", None)
+    # --n-photons overrides the preset budget (the reference's dose-
+    # fraction-study regime, ref create_noisy_data.py:20); 0 = noiseless
+    if n_photons is None:
+        n_photons = sim.pop("n_photons_total", None)
+    else:
+        sim.pop("n_photons_total", None)
+        n_photons = n_photons or None
     if n_theta:
         sim["n_theta"] = n_theta
     t0 = time.time()
-    cache = os.path.join(out, "sim_cache_%d.npy" % sim.get("n_theta", 0))
+    cache = sim_cache or os.path.join(out,
+                                      "sim_cache_%d.npy" % sim.get("n_theta", 0))
     if os.path.exists(cache):
         data = np.load(cache)
         print("sim cache hit: %s" % cache, flush=True)
@@ -56,6 +64,8 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
         data, mean_snr = add_poisson_noise_ptycho(
             np.asarray(data), n_photons, n_sample_pixel, gd.shape)
         print("Average SNR is {}.".format(mean_snr), flush=True)
+    else:
+        mean_snr = None
     t_sim = time.time() - t0
 
     rec = dict(p["reconstruct"])
@@ -119,6 +129,8 @@ def run(preset="adhesin_ptycho", n_theta=None, n_epochs=None, out=None,
         "resolution_frac_nyquist": float(radii[min(cross, len(radii) - 1)]
                                          / radii[-1]),
         "n_theta": sim.get("n_theta"), "n_pos": int(len(probe_pos)),
+        "n_photons_total": n_photons,
+        "mean_snr": None if mean_snr is None else float(mean_snr),
         "sim_seconds": round(t_sim, 1), "recon_seconds": round(t_rec, 1),
         "epoch_seconds_median": float(np.median(epoch_times[1:]
                                                 or epoch_times)),
@@ -141,7 +153,12 @@ if __name__ == "__main__":
     ap.add_argument("--learning-rate", type=float, default=None)
     ap.add_argument("--reg-scale", type=float, default=None,
                     help="multiply the preset's alpha_d/alpha_b/gamma")
+    ap.add_argument("--n-photons", type=float, default=None,
+                    help="override the preset photon budget (0 = noiseless)")
+    ap.add_argument("--sim-cache", default=None,
+                    help="shared noiseless simulation cache path")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
                          learning_rate=a.learning_rate,
-                         reg_scale=a.reg_scale)), flush=True)
+                         reg_scale=a.reg_scale, n_photons=a.n_photons,
+                         sim_cache=a.sim_cache)), flush=True)
