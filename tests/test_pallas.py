@@ -135,6 +135,35 @@ def test_pallas_precision_modes_track_highest(mode, tol):
     assert 0 < err < tol  # nonzero: the reduced-precision path really ran
 
 
+def test_pallas_precision_high_gradients_track_highest():
+    """The invertible backward re-runs the forward in REVERSE at kernel
+    precision, so manual bf16x3 must also keep the gradient in band —
+    inverse-propagation error accumulates across slices otherwise."""
+    from beyond_dof_tpu.ops import pallas_kernels as pk
+    delta, beta, w_re, w_im, hr, hi, k, ev, ps = _setup(32, 5, 2, base=8)
+    rng = np.random.RandomState(2)
+    target = jnp.asarray(rng.rand(2, 32, 32).astype(np.float32))
+
+    def loss(d, b, wr, wi):
+        re, im = multislice_pallas_invertible(d, b, wr, wi, hr, hi, k,
+                                              True, 8)
+        return jnp.mean((jnp.sqrt(re * re + im * im) - target) ** 2)
+
+    args = (jnp.asarray(delta), jnp.asarray(beta), w_re, w_im)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    try:
+        pk.set_kernel_precision("high")
+        g_hi = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    finally:
+        pk.set_kernel_precision("highest")
+    for gh, gr, name in zip(g_hi, g_ref, ("delta", "beta", "probe_re",
+                                          "probe_im")):
+        gr = np.asarray(gr)
+        scale = np.abs(gr).max() + 1e-30
+        rel = np.abs(np.asarray(gh) - gr).max() / scale
+        assert 0 < rel < 5e-3, (name, rel)
+
+
 def test_blocked_two_pass_matches_fused():
     """The blocked X-pass/Y-pass pipeline == the fully-fused kernel (and
     the complex scan), exercised with multi-level radix panels."""
