@@ -36,9 +36,18 @@ def bench(size, nz, iters):
         multislice_pallas_split_blocked)
     from beyond_dof_tpu.ops.multislice import multislice_propagate_batch_split
 
-    rng = np.random.RandomState(0)
-    delta = jnp.asarray(rng.rand(size, size, nz).astype(np.float32) * 1e-7)
-    beta = jnp.asarray(rng.rand(size, size, nz).astype(np.float32) * 1e-8)
+    # Inputs are generated ON DEVICE: at 2048^2 x 64 the host->device upload
+    # of 2 GB of random grids dominates (and can exceed) the whole bench over
+    # the relay link; the throughput being measured is upload-independent.
+    @jax.jit
+    def make_inputs(seed):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        d = jax.random.uniform(k1, (size, size, nz), jnp.float32) * 1e-7
+        b = jax.random.uniform(k2, (size, size, nz), jnp.float32) * 1e-8
+        return d, b
+
+    delta, beta = make_inputs(0)
+    delta.block_until_ready()
     w_re = jnp.ones((size, size), jnp.float32)
     w_im = jnp.zeros((size, size), jnp.float32)
 
@@ -54,10 +63,11 @@ def bench(size, nz, iters):
             return timed
         return make
 
-    def run_one(make):
+    def run_one(make, tag):
         t1, t2 = make(iters), make(2 * iters)
         float(t1(delta, beta, w_re, w_im))
         float(t2(delta, beta, w_re, w_im))
+        print("warmed", tag, flush=True)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -67,6 +77,7 @@ def bench(size, nz, iters):
             float(t2(delta, beta, w_re, w_im))
             d2 = time.time() - t0
             best = min(best, (d2 - d1) / iters)
+        print("timed", tag, round(nz * iters / best / iters, 1), flush=True)
         return round(nz / best, 1)
 
     def xla_fwd(d, b, wr, wi):
@@ -82,19 +93,29 @@ def bench(size, nz, iters):
         return multislice_pallas_split_blocked(
             d, b, wr, wi, 5000.0, 1e-7)
 
-    # parity first (one sweep)
-    bre, bim = blocked_call(delta, beta, w_re, w_im)
-    xre, xim = xla_call(delta, beta, w_re, w_im)
-    amp_b = np.hypot(np.asarray(bre), np.asarray(bim))
-    amp_x = np.hypot(np.asarray(xre), np.asarray(xim))
-    max_rel = float(np.max(np.abs(amp_b - amp_x) / (np.abs(amp_x) + 1e-6)))
+    # parity first (one sweep), reduced ON DEVICE — pulling the four full
+    # planes to the host is tens of MB over the relay link and dominates
+    # the whole bench otherwise.
+    @jax.jit
+    def parity(d, b, wr, wi):
+        bre, bim = blocked_call(d, b, wr, wi)
+        xre, xim = xla_call(d, b, wr, wi)
+        amp_b = jnp.sqrt(bre * bre + bim * bim)
+        amp_x = jnp.sqrt(xre * xre + xim * xim)
+        return jnp.max(jnp.abs(amp_b - amp_x) / (jnp.abs(amp_x) + 1e-6))
+
+    t0 = time.time()
+    max_rel = float(parity(delta, beta, w_re, w_im))
+    print("parity", size, max_rel, round(time.time() - t0, 1), "s",
+          flush=True)
 
     return {
         "size": size, "nz": nz,
         "blocked_vs_xla_max_rel_amp": max_rel,
-        "xla_split_fwd_slices_per_sec": run_one(timed_factory(xla_call)),
+        "xla_split_fwd_slices_per_sec":
+            run_one(timed_factory(xla_call), "xla"),
         "blocked_pallas_fwd_slices_per_sec":
-            run_one(timed_factory(blocked_call)),
+            run_one(timed_factory(blocked_call), "blocked"),
     }
 
 
