@@ -123,7 +123,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--big", action="store_true", help="also run 4096^2")
     a = ap.parse_args()
-    out = {"metric": "beyond_vmem_plane_scale"}
+    prec = os.environ.get("BDT_DFT_PRECISION", "highest").lower()
+    out = {"metric": "beyond_vmem_plane_scale", "precision": prec}
     try:
         out["platform_version"] = \
             __import__("jax").devices()[0].client.platform_version
@@ -133,7 +134,8 @@ def main():
     for size, nz, iters in sizes:
         out["%d" % size] = bench(size, nz, iters)
         print(size, json.dumps(out["%d" % size]), flush=True)
-    with open("benchmarks/scale_2048.json", "w") as f:
+    suffix = "" if prec == "highest" else "_" + prec
+    with open("benchmarks/scale_2048%s.json" % suffix, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
