@@ -21,7 +21,8 @@ import numpy as np
 
 def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         support_mask=None, auto_epochs=False, final_epochs=None,
-        reg_scale=None, n_photons=None, sim_cache=None):
+        reg_scale=None, n_photons=None, sim_cache=None, precision=None,
+        precision_polish_epochs=None):
     from beyond_dof_tpu.configs.presets import FULLFIELD_PRESETS, make_phantom
     from beyond_dof_tpu.sim.acquire import (create_fullfield_data,
                                             add_poisson_noise_fullfield)
@@ -94,6 +95,12 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
                 rec[k] = rec[k] * reg_scale
     if mask is not None:
         rec["finite_support_mask"] = mask
+    if precision is not None:
+        # 'auto' = the mixed-precision multiscale schedule (bf16x3 descent,
+        # HIGHEST polish on the last precision_polish_epochs of ds1)
+        rec["precision"] = precision
+        if precision_polish_epochs is not None:
+            rec["precision_polish_epochs"] = precision_polish_epochs
     t0 = time.time()
     d, b, info = reconstruct_fullfield(data=data, **rec)
     t_rec = time.time() - t0
@@ -116,6 +123,7 @@ def run(preset="cone_256", n_theta=None, n_epochs=None, out=None, seed=0,
         "n_photons_total": n_photons,
         "mean_snr": None if mean_snr is None else float(mean_snr),
         "recon_seconds": round(t_rec, 1),
+        "precision": precision,
         "final_loss": float(info["loss"][-1]),
         "loss_first_last_per_level": {
             str(k): [float(v["loss"][0]), float(v["loss"][-1])]
@@ -149,10 +157,17 @@ if __name__ == "__main__":
     ap.add_argument("--sim-cache", default=None,
                     help="path of the noiseless sim cache to share across "
                          "dose-sweep runs")
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "highest", "high", "auto"],
+                    help="DFT precision; 'auto' = mixed multiscale schedule")
+    ap.add_argument("--polish-epochs", type=int, default=None,
+                    help="HIGHEST polish epochs at ds1 under --precision auto")
     a = ap.parse_args()
     print(json.dumps(run(a.preset, a.n_theta, a.n_epochs, a.out,
                          support_mask=a.support_mask,
                          auto_epochs=a.auto_epochs,
                          final_epochs=a.final_epochs,
                          reg_scale=a.reg_scale, n_photons=a.n_photons,
-                         sim_cache=a.sim_cache)), flush=True)
+                         sim_cache=a.sim_cache, precision=a.precision,
+                         precision_polish_epochs=a.polish_epochs)),
+          flush=True)

@@ -2,17 +2,23 @@
 
 The fully-fused kernel holds the wavefield in VMEM and tops out at 1024^2
 (33.5 MB of field alone at 2048^2). Above that the framework has two
-forward paths:
+paths, BOTH differentiable:
 
   * the XLA split-complex scan (`multislice_propagate_batch_split`,
-    use_pallas=False) — also the training path at these sizes, and
+    use_pallas=False) with the invertible XLA backward, and
   * the blocked two-pass Pallas pipeline
     (`multislice_pallas_split_blocked`): X-pass kernels stream py-row
     blocks, Y-pass kernels stream qx-column blocks, the field lives in
     HBM between passes — same radix-DIF math, VMEM footprint O(block).
+    Its backward is the panel-streamed invertible reverse sweep
+    (`multislice_pallas_blocked_invertible`), which the engine
+    auto-routes for >1024^2 planes.
 
-This records fwd slices/s for both at 2048^2 (and 4096^2 with --big),
-device-side fori_loop differencing like every other bench.
+This records fwd AND fwd+bwd (training) slices/s for both at 2048^2 (and
+4096^2 with --big), gradient parity between the paths, and MFU under the
+BASELINE.md flop model (3072*N^2 algorithmic FLOPs/slice, fwd+bwd = 3x;
+executed passes: HIGHEST=6, HIGH=3, DEFAULT=1; peak 197 bf16 TFLOP/s).
+Device-side fori_loop differencing like every other bench.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python -u
            benchmarks/scale_2048.py
@@ -93,6 +99,34 @@ def bench(size, nz, iters):
         return multislice_pallas_split_blocked(
             d, b, wr, wi, 5000.0, 1e-7)
 
+    # training step through the production router (remat='invertible'):
+    # route False = XLA invertible backward, 'blocked' = the blocked
+    # panel-streamed invertible backward
+    def grad_fn(route):
+        # target-misfit loss: mean(re^2 + im^2) would be the field NORM,
+        # which the unitary propagation preserves exactly (d loss/d delta
+        # == 0 identically) — its "gradient" is pure numerical noise and
+        # parity on it is meaningless. A fixed target breaks the symmetry.
+        def f(d, b, wr, wi):
+            re, im = multislice_propagate_batch_split(
+                d[None], b[None], wr, wi, 5000.0, 1e-7,
+                propagate_last=True, remat="invertible", use_pallas=route)
+            return jnp.mean((re[0] - 0.3) ** 2 + (im[0] + 0.1) ** 2)
+        return jax.grad(f, argnums=(0, 1))
+
+    def grad_timed_factory(route):
+        g = grad_fn(route)
+
+        def make(n):
+            @jax.jit
+            def timed(d, b, wr, wi):
+                def body(_, acc):
+                    gd_, gb_ = g(d, b, wr + acc * 1e-20, wi)
+                    return jnp.mean(gd_) + jnp.mean(gb_)
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return timed
+        return make
+
     # parity first (one sweep), reduced ON DEVICE — pulling the four full
     # planes to the host is tens of MB over the relay link and dominates
     # the whole bench otherwise.
@@ -104,19 +138,53 @@ def bench(size, nz, iters):
         amp_x = jnp.sqrt(xre * xre + xim * xim)
         return jnp.max(jnp.abs(amp_b - amp_x) / (jnp.abs(amp_x) + 1e-6))
 
+    @jax.jit
+    def grad_parity(d, b, wr, wi):
+        gd_b, gb_b = grad_fn("blocked")(d, b, wr, wi)
+        gd_x, gb_x = grad_fn(False)(d, b, wr, wi)
+        rel = lambda a, r: jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r))
+                                                      + 1e-30)
+        return jnp.maximum(rel(gd_b, gd_x), rel(gb_b, gb_x))
+
     t0 = time.time()
     max_rel = float(parity(delta, beta, w_re, w_im))
     print("parity", size, max_rel, round(time.time() - t0, 1), "s",
           flush=True)
+    t0 = time.time()
+    grad_rel = float(grad_parity(delta, beta, w_re, w_im))
+    print("grad parity", size, grad_rel, round(time.time() - t0, 1), "s",
+          flush=True)
 
-    return {
+    prec = os.environ.get("BDT_DFT_PRECISION", "highest").lower()
+    passes = {"highest": 6, "high": 3, "default": 1}[prec]
+    alg_flops = 3072.0 * size * size  # per slice, fwd
+
+    def mfu(slices_per_sec, fwd_bwd):
+        ex = slices_per_sec * alg_flops * (3 if fwd_bwd else 1) * passes
+        return round(100.0 * ex / 197e12, 1)
+
+    out = {
         "size": size, "nz": nz,
         "blocked_vs_xla_max_rel_amp": max_rel,
+        "blocked_vs_xla_grad_max_rel": grad_rel,
         "xla_split_fwd_slices_per_sec":
             run_one(timed_factory(xla_call), "xla"),
         "blocked_pallas_fwd_slices_per_sec":
             run_one(timed_factory(blocked_call), "blocked"),
+        "xla_invertible_train_slices_per_sec":
+            run_one(grad_timed_factory(False), "xla-train"),
+        "blocked_pallas_train_slices_per_sec":
+            run_one(grad_timed_factory("blocked"), "blocked-train"),
     }
+    out["xla_split_fwd_mfu_pct"] = mfu(
+        out["xla_split_fwd_slices_per_sec"], False)
+    out["blocked_pallas_fwd_mfu_pct"] = mfu(
+        out["blocked_pallas_fwd_slices_per_sec"], False)
+    out["xla_invertible_train_mfu_pct"] = mfu(
+        out["xla_invertible_train_slices_per_sec"], True)
+    out["blocked_pallas_train_mfu_pct"] = mfu(
+        out["blocked_pallas_train_slices_per_sec"], True)
+    return out
 
 
 def main():

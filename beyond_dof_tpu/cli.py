@@ -20,20 +20,33 @@ import numpy as np
 def _cmd_simulate(args):
     from .configs.presets import FULLFIELD_PRESETS, PTYCHO_PRESETS, make_phantom
     from .sim.acquire import (create_fullfield_data, create_ptychography_data,
-                              add_poisson_noise_fullfield)
+                              add_poisson_noise_fullfield,
+                              add_poisson_noise_ptycho)
     if args.ptycho:
         preset = PTYCHO_PRESETS[args.preset]
         gd, gb = make_phantom(preset["phantom"])
         sim = dict(preset["simulate"])
+        n_ph = (sim.pop("n_photons_total", None)
+                if args.n_photons is None else args.n_photons)
         if args.n_theta:
             sim["n_theta"] = args.n_theta
         data = create_ptychography_data(gd, gb, probe_pos=preset["probe_pos"],
-                                        save_folder=".", fname=args.out, **sim)
+                                        save_folder=".", fname=None, **sim)
+        if n_ph:
+            # the reference's photon-budget Poisson machinery
+            # (ref create_noisy_data.py:20-89)
+            n_sample_pixel = int(np.count_nonzero(gd > 1e-10))
+            data, mean_snr = add_poisson_noise_ptycho(
+                np.asarray(data), n_ph, n_sample_pixel, gd.shape)
+            print("Average SNR is {}.".format(mean_snr))
+        from .io.exchange import write_exchange_data
+        write_exchange_data(args.out, data)
     else:
         preset = FULLFIELD_PRESETS[args.preset]
         gd, gb = make_phantom(preset["phantom"])
         sim = dict(preset["simulate"])
-        n_ph = sim.pop("n_photons_total", None)
+        n_ph = (sim.pop("n_photons_total", None)
+                if args.n_photons is None else args.n_photons)
         if args.n_theta:
             sim["n_theta"] = args.n_theta
         data = create_fullfield_data(gd, gb, save_folder=".", fname=None, **sim)
@@ -152,6 +165,9 @@ def main(argv=None):
     ps.add_argument("--out", required=True)
     ps.add_argument("--ptycho", action="store_true")
     ps.add_argument("--n-theta", type=int, default=None)
+    ps.add_argument("--n-photons", type=float, default=None,
+                    help="total-photon Poisson budget (ref create_noisy_data"
+                         ".py:20-89); overrides the preset; 0 = noiseless")
     ps.set_defaults(fn=_cmd_simulate)
 
     pr = sub.add_parser("reconstruct", help="full-field reconstruction")

@@ -498,23 +498,52 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
         # O(1)-activation backward: the unitary slice steps are run in
         # reverse in the VJP instead of storing carries. On TPU with
         # eligible plane shapes, both sweeps run as single fused Pallas
-        # kernels (field resident in VMEM across all slices).
+        # kernels (field resident in VMEM across all slices); planes too
+        # big for VMEM residency (>= 2048^2) run the blocked two-pass
+        # Pallas pipeline, whose backward is the same invertible sweep in
+        # panel-streamed form.
         from .pallas_kernels import (multislice_pallas_invertible,
+                                     multislice_pallas_blocked_invertible,
                                      pallas_shape_ok, _on_tpu)
         eligible = pallas_shape_ok(dim_y, dim_x)
         if use_pallas is None:
             # measured on v5e-1 (libtpu cl/831091709): the fused kernel
-            # wins at every eligible size — 512^2 fwd 30.1k vs 19.9k XLA
-            # split; 1024^2 fwd 6.8k vs 5.4k (HIGHEST) and 10.1k vs 7.7k
-            # (bf16x3) — round 2's 11.3k XLA row that motivated a 512 cap
-            # here was retired as irreproducible and roofline-impossible
-            # (BASELINE.md MFU table). >=2048^2 keeps the XLA split path:
-            # the VMEM-resident field alone is 33.5 MB and unmeasured
-            use_pallas = eligible and dim_y <= 1024 and _on_tpu()
+            # wins at every eligible size <= 1024^2 — 512^2 fwd 30.1k vs
+            # 19.9k XLA split; 1024^2 fwd 6.8k vs 5.4k (HIGHEST) and
+            # 10.1k vs 7.7k (bf16x3) — round 2's 11.3k XLA row that
+            # motivated a 512 cap here was retired as irreproducible and
+            # roofline-impossible (BASELINE.md MFU table). >= 2048^2 the
+            # VMEM-resident field alone is 33.5+ MB, so those planes
+            # route to the blocked two-pass kernel (4096^2 fwd: 268
+            # slices/s vs XLA's 98, benchmarks/scale_2048.json).
+            if eligible and _on_tpu():
+                use_pallas = True if dim_y <= 1024 else "blocked"
+            else:
+                use_pallas = False
         elif use_pallas and not eligible:
             raise ValueError("use_pallas needs square power-of-two planes; "
                              "got (%d, %d)" % (dim_y, dim_x))
-        if use_pallas:
+        if use_pallas == "blocked":
+            interp = not _on_tpu()
+            py = qx = min(128, dim_y)
+
+            def sweep(dz, bz, wr_, wi_):
+                # the blocked kernel is single-volume (Z, Y, X); batch
+                # items run sequentially (lax.map) — at these plane sizes
+                # minibatches are ~1 and the per-volume sweep already
+                # saturates the chip
+                def one(dzi, bzi, wri, wii):
+                    return multislice_pallas_blocked_invertible(
+                        dzi, bzi, wri, wii, hr, hi, float(k), interp,
+                        py, qx)
+                if dz.shape[1] == 1:
+                    r, i = one(dz[:, 0], bz[:, 0], wr_[0], wi_[0])
+                    return r[None], i[None]
+                dzb = jnp.moveaxis(dz, 1, 0)
+                bzb = jnp.moveaxis(bz, 1, 0)
+                return jax.lax.map(lambda t: one(*t),
+                                   (dzb, bzb, wr_, wi_))
+        elif use_pallas:
             interp = not _on_tpu()
 
             def sweep(dz, bz, wr_, wi_):

@@ -42,7 +42,8 @@ from .fresnel import get_kernel, ifftshift2
 from .splitfft import dft_mats, _twiddles, _DFT_BASE, permute_kernel_2d
 
 __all__ = ["multislice_pallas_split", "multislice_pallas_invertible",
-           "pallas_shape_ok"]
+           "multislice_pallas_split_blocked",
+           "multislice_pallas_blocked_invertible", "pallas_shape_ok"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -718,6 +719,56 @@ def _make_xpass_kernel(k, mode):
     return kernel
 
 
+def _make_xpass_bwd_kernel(k):
+    """Backward X-pass: one reverse-slice step on row panels.
+
+    Inputs are the DIF_x-space states AFTER the conj-kernel Y-pass, i.e.
+    ``IDIT_x(w_state) = m_i = A^-1(w_{i+1})`` (the modulated field before
+    slice i's propagation) and likewise ``IDIT_x(g_state)`` is the
+    cotangent pulled back through the unitary propagation. The kernel
+    finishes the reverse slice step entirely in VMEM: inverse modulation
+    reconstructs ``w_i``, the per-slice (gd, gb) gradients are emitted,
+    the cotangent picks up conj(c), and both states are re-DIF_x'd for
+    the next (earlier) slice. Elementwise math identical to
+    :func:`_make_bwd_kernel` / ``ops.multislice._msi_bwd``.
+    """
+    def kernel(w_re_ref, w_im_ref, g_re_ref, g_im_ref, d_ref, b_ref,
+               wr_ref, wi_ref, ws_ref, iwr_ref, iwi_ref, iws_ref,
+               twr_ref, twi_ref,
+               ow_re_ref, ow_im_ref, og_re_ref, og_im_ref, gd_ref, gb_ref):
+        twr = twr_ref[:]
+        twi = twi_ref[:]
+        iw = (iwr_ref[:], iwi_ref[:], iws_ref[:])
+        m_re, m_im = _idit_last(w_re_ref[:], w_im_ref[:], *iw, twr, twi)
+        gm_re, gm_im = _idit_last(g_re_ref[:], g_im_ref[:], *iw, twr, twi)
+        d = d_ref[:]
+        b = b_ref[:]
+        amp = jnp.exp(-k * b)
+        cr = amp * jnp.cos(k * d)
+        ci = amp * jnp.sin(k * d)
+        # reconstruct w_i = m * conj(c) / |c|^2   (|c|^2 = e^{-2 k beta})
+        inv = 1.0 / (cr * cr + ci * ci)
+        wp_re = (m_re * cr + m_im * ci) * inv
+        wp_im = (m_im * cr - m_re * ci) * inv
+        # slice gradients: gc = conj(w_i) * gm
+        gc_re = gm_re * wp_re + gm_im * wp_im
+        gc_im = -gm_re * wp_im + gm_im * wp_re
+        gd_ref[:] = k * (gc_im * cr - gc_re * ci)
+        gb_ref[:] = -k * (gc_re * cr + gc_im * ci)
+        # cotangent at w_i: conj(c) * gm
+        gn_re = gm_re * cr + gm_im * ci
+        gn_im = -gm_re * ci + gm_im * cr
+        w = (wr_ref[:], wi_ref[:], ws_ref[:])
+        r, i = _dif_last(wp_re, wp_im, *w, twr, twi)
+        ow_re_ref[:] = r
+        ow_im_ref[:] = i
+        r, i = _dif_last(gn_re, gn_im, *w, twr, twi)
+        og_re_ref[:] = r
+        og_im_ref[:] = i
+
+    return kernel
+
+
 def _make_ypass_kernel():
     def kernel(s_re_ref, s_im_ref, hr_ref, hi_ref,
                wr_ref, wi_ref, ws_ref, iwr_ref, iwi_ref, iws_ref,
@@ -776,7 +827,103 @@ def _blocked_calls(dim_y, dim_x, k, consts, interpret, py, qx):
             interpret=interpret,
         )(s_re, s_im, hr, hi, *cmats)
 
-    return xpass("first"), xpass("mid"), xpass("last"), ypass
+    bkern = _make_xpass_bwd_kernel(k)
+
+    def xbwd(wr_s, wi_s, gr_s, gi_s, d, b):
+        return pl.pallas_call(
+            bkern, grid=(dim_y // py,),
+            in_specs=[row] * 6 + [mat] * 6 + [tw, tw],
+            out_specs=(row,) * 6,
+            out_shape=(plane,) * 6,
+            compiler_params=_compiler_params(py, dim_x),
+            interpret=interpret,
+        )(wr_s, wi_s, gr_s, gi_s, d, b, *cmats)
+
+    return xpass("first"), xpass("mid"), xpass("last"), ypass, xbwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def multislice_pallas_blocked_invertible(delta_z, beta_z, w_re, w_im,
+                                         hr_p, hi_p, k, interpret=False,
+                                         py=128, qx=128, base=None):
+    """Blocked two-pass multislice with a blocked invertible backward.
+
+    One (Z, Y, X) volume, (Y, X) split probe, PERMUTED split kernel, and
+    ``k = 2 pi dz / lambda``. Returns the split (Y, X) exit wave after
+    modulate+propagate at EVERY slice. The plane never has to fit VMEM:
+    both passes stream py-row / qx-column panels, the field lives in HBM
+    only between passes.
+
+    BACKWARD is the same invertible sweep as the fused kernels
+    (:func:`multislice_pallas_invertible` / ``ops.multislice._msi_bwd``):
+    the unitary per-slice step is run in reverse — conj(H) Y-passes plus a
+    combined backward X-pass that reconstructs the field, emits the
+    per-slice (gd, gb), and pulls the cotangent back — so activation
+    memory stays O(1) planes at ANY plane size. This is the piece the
+    reference never had at scale (its TF graph kept every activation,
+    ref tensorflow_recon/util.py:465-483).
+    """
+    return _blocked_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k,
+                              interpret, py, qx, base)
+
+
+def _blocked_sweep_fwd(delta_z, beta_z, w_re, w_im, hr, hi, k, interpret,
+                       py, qx, base):
+    n_slice, dim_y, dim_x = delta_z.shape
+    consts = _radix_consts(dim_y, base)
+    xfirst, xmid, xlast, ypass, _ = _blocked_calls(dim_y, dim_x, k, consts,
+                                                   bool(interpret), py, qx)
+    s_re, s_im = xfirst(w_re, w_im, delta_z[0], beta_z[0])
+
+    def step(carry, slices):
+        s_re, s_im = carry
+        d, b = slices
+        s_re, s_im = ypass(s_re, s_im, hr, hi)
+        s_re, s_im = xmid(s_re, s_im, d, b)
+        return (s_re, s_im), None
+
+    (s_re, s_im), _ = jax.lax.scan(step, (s_re, s_im),
+                                   (delta_z[1:], beta_z[1:]))
+    s_re, s_im = ypass(s_re, s_im, hr, hi)
+    zeros = jnp.zeros((dim_y, dim_x), jnp.float32)
+    return xlast(s_re, s_im, zeros, zeros)
+
+
+def _mpb_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k, interpret, py, qx,
+             base):
+    out = _blocked_sweep_fwd(delta_z, beta_z, w_re, w_im, hr_p, hi_p, k,
+                             interpret, py, qx, base)
+    return out, (delta_z, beta_z, out[0], out[1], hr_p, hi_p)
+
+
+def _mpb_bwd(k, interpret, py, qx, base, res, cot):
+    delta_z, beta_z, out_re, out_im, hr, hi = res
+    g_re, g_im = cot
+    n_slice, dim_y, dim_x = delta_z.shape
+    consts = _radix_consts(dim_y, base)
+    xfirst, _, xlast, ypass, xbwd = _blocked_calls(dim_y, dim_x, k, consts,
+                                                   bool(interpret), py, qx)
+    nhi = -hi  # conj kernel: P^-1 == P-adjoint (unitary step)
+    zeros = jnp.zeros((dim_y, dim_x), jnp.float32)
+    # into DIF_x space (mode='first' with zero slices is a pure DIF_x)
+    wr_s, wi_s = xfirst(out_re, out_im, zeros, zeros)
+    gr_s, gi_s = xfirst(g_re, g_im, zeros, zeros)
+
+    def step(carry, slices):
+        wr_s, wi_s, gr_s, gi_s = carry
+        d, b = slices
+        wr_s, wi_s = ypass(wr_s, wi_s, hr, nhi)
+        gr_s, gi_s = ypass(gr_s, gi_s, hr, nhi)
+        wr_s, wi_s, gr_s, gi_s, gd, gb = xbwd(wr_s, wi_s, gr_s, gi_s, d, b)
+        return (wr_s, wi_s, gr_s, gi_s), (gd, gb)
+
+    (_, _, gr_s, gi_s), (gd_z, gb_z) = jax.lax.scan(
+        step, (wr_s, wi_s, gr_s, gi_s), (delta_z, beta_z), reverse=True)
+    g0_re, g0_im = xlast(gr_s, gi_s, zeros, zeros)
+    return gd_z, gb_z, g0_re, g0_im, None, None
+
+
+multislice_pallas_blocked_invertible.defvjp(_mpb_fwd, _mpb_bwd)
 
 
 def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
@@ -787,8 +934,9 @@ def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
 
     Semantics identical to :func:`multislice_pallas_split` (modulate +
     propagate after EVERY slice). (Y, X, Z) volume in, split (Y, X) exit
-    wave out. Forward-only (training at these plane sizes runs the XLA
-    invertible path).
+    wave out. DIFFERENTIABLE: routes through
+    :func:`multislice_pallas_blocked_invertible`, whose backward is the
+    blocked invertible reverse sweep.
     """
     grid_delta = jnp.asarray(grid_delta, jnp.float32)
     grid_beta = jnp.asarray(grid_beta, jnp.float32)
@@ -805,9 +953,6 @@ def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
     h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
     hr = jnp.asarray(np.real(h_p).astype(np.float32))
     hi = jnp.asarray(np.imag(h_p).astype(np.float32))
-    consts = _radix_consts(dim_y, base)
-    xfirst, xmid, xlast, ypass = _blocked_calls(dim_y, dim_x, k, consts,
-                                                bool(interpret), py, qx)
 
     delta_z = jnp.moveaxis(grid_delta, -1, 0)
     beta_z = jnp.moveaxis(grid_beta, -1, 0)
@@ -815,18 +960,6 @@ def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
                             (dim_y, dim_x))
     w_im = jnp.broadcast_to(jnp.asarray(probe_im, jnp.float32),
                             (dim_y, dim_x))
-
-    s_re, s_im = xfirst(w_re, w_im, delta_z[0], beta_z[0])
-
-    def step(carry, slices):
-        s_re, s_im = carry
-        d, b = slices
-        s_re, s_im = ypass(s_re, s_im, hr, hi)
-        s_re, s_im = xmid(s_re, s_im, d, b)
-        return (s_re, s_im), None
-
-    (s_re, s_im), _ = jax.lax.scan(step, (s_re, s_im),
-                                   (delta_z[1:], beta_z[1:]))
-    s_re, s_im = ypass(s_re, s_im, hr, hi)
-    zeros = jnp.zeros((dim_y, dim_x), jnp.float32)
-    return xlast(s_re, s_im, zeros, zeros)
+    return multislice_pallas_blocked_invertible(
+        delta_z, beta_z, w_re, w_im, hr, hi, float(k), bool(interpret),
+        int(py), int(qx), base)

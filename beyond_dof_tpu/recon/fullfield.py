@@ -216,7 +216,8 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                           kernel_size=17, tile_mesh=None,
                           shard_object=None, split_complex="auto",
                           rotation_grad=None, rotation="auto",
-                          epoch_in_one_call="auto", **kwargs):
+                          epoch_in_one_call="auto", precision=None,
+                          precision_polish_epochs=10, **kwargs):
     """Reconstruct a beyond-depth-of-focus object from full-field projections.
 
     Parameter names and semantics follow the reference engine
@@ -228,10 +229,34 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
 
     Returns ``(obj_delta, obj_beta, info)`` where ``info`` carries the loss
     history, final probe, and final mask.
+
+    ``precision``: None (leave the module/env setting alone),
+    'highest'/'high'/'default' (fix the DFT matmul precision for the whole
+    run), or 'auto' — the MIXED-PRECISION MULTISCALE SCHEDULE: every epoch
+    runs at bf16x3 (HIGH) except the last ``precision_polish_epochs``
+    epochs of the finest (ds=1) level, which polish at HIGHEST. The
+    multiscale loop is the natural schedule boundary (ref
+    tensorflow_recon/fullfield.py:203-217): coarse levels and the descent
+    phase only need to land in the quality basin; the polish phase removes
+    the bf16x3 error band (~3e-4 amplitude) from the converged iterate.
     """
     t_zero = time.time()
     rng = np.random.RandomState(seed)
     _log = print_flush if verbose else (lambda *a, **k: None)
+
+    _prec_state = [None]  # currently-applied module precision (None = env)
+
+    def _apply_precision(name):
+        if name is None or name == _prec_state[0]:
+            return
+        from ..ops import splitfft, pallas_kernels
+        splitfft.set_precision(name)
+        pallas_kernels.set_kernel_precision(name)
+        _prec_state[0] = name
+        _log("DFT precision -> {}".format(name))
+
+    if precision is not None and precision != "auto":
+        _apply_precision(precision)
 
     if epoch_in_one_call == "auto":
         # On TPU backends (especially RPC-tunneled ones) per-minibatch host
@@ -427,9 +452,14 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
 
         _step_cache = {}
 
-        def get_step(mode):
+        def get_step(mode, prec=None):
+            # prec: the mixed-precision schedule's per-epoch setting — it
+            # mutates the module-level DFT precision and keys the cache so
+            # a fresh jit wrapper retraces with the new setting (the bare
+            # global would be invisible to an already-compiled step)
+            _apply_precision(prec)
             if shard_object == "y":
-                key = ("y", bool(mode))
+                key = ("y", bool(mode), prec)
                 if key not in _step_cache:
                     from .sharded import build_step_sharded_y
                     _step_cache[key] = build_step_sharded_y(
@@ -439,8 +469,9 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                         n_epochs_mask_release=n_epochs_mask_release,
                         kernel_size=kernel_size, remat=bool(mode))
                 return _step_cache[key]
-            if mode not in _step_cache:
-                _step_cache[mode] = _build_step(
+            key = (mode, prec)
+            if key not in _step_cache:
+                _step_cache[key] = _build_step(
                     tx, probe, energy_ev, psize_cm * ds_level,
                     free_prop_cm, h, alpha, alpha_d, alpha_b, gamma,
                     eff_forward, optimize_probe, pupil,
@@ -449,7 +480,7 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
                     kernel_size=kernel_size, tile_mesh=tile_mesh,
                     forward_kwargs=fwd_kwargs, split_complex=use_split,
                     rotation_grad=rotation_grad)
-            return _step_cache[mode]
+            return _step_cache[key]
 
         mask_dev = jnp.asarray(mask)
         batch_shard = data_sharding(mesh, 1) if mesh is not None else None
@@ -520,7 +551,13 @@ def reconstruct_fullfield(fname=None, data=None, theta_st=0, theta_end=PI,
         _log("Optimizer started.")
 
         for epoch in range(start_epoch, n_loop):
-            step, epoch_scan = get_step(pick_remat(params))
+            if precision == "auto":
+                polish = (ds_level == 1
+                          and epoch >= n_loop - precision_polish_epochs)
+                epoch_prec = "highest" if polish else "high"
+            else:
+                epoch_prec = None
+            step, epoch_scan = get_step(pick_remat(params), epoch_prec)
             profiling = epoch in set(profile_epochs)
             if profiling:
                 prof_dir = os.path.join(output_folder, "profiling",

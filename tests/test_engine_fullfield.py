@@ -173,3 +173,22 @@ def test_noisy_multiscale_closed_loop():
     assert err_recon < 0.9 * np.abs(gd).mean()
     radii, fsc = fourier_shell_correlation(gd, d)
     assert float(np.asarray(fsc)[1]) > 0.5  # low-frequency agreement
+
+
+def test_mixed_precision_auto_schedule(small_dataset):
+    """precision='auto': bf16x3 descent epochs + HIGHEST polish epochs at
+    ds=1 (the mixed-precision multiscale schedule). The loss must still
+    descend, and the module precision must end at HIGHEST (the polish
+    phase), restoring the headline default for subsequent programs."""
+    import jax
+    from beyond_dof_tpu.ops import splitfft, pallas_kernels
+    gd, gb, data = small_dataset
+    d, b, info = reconstruct_fullfield(
+        data=data, theta_end=2 * np.pi, n_epochs=4, alpha_d=0, alpha_b=0,
+        gamma=0, learning_rate=1e-7, energy_ev=800, psize_cm=0.67e-7,
+        minibatch_size=10, shrink_cycle=None, save_outputs=False,
+        verbose=False, propagate_last=False, seed=0, multiscale_level=2,
+        precision="auto", precision_polish_epochs=2)
+    assert info["loss"][-1] < info["loss"][0]
+    assert splitfft._PRECISION == jax.lax.Precision.HIGHEST
+    assert pallas_kernels._PREC == jax.lax.Precision.HIGHEST
