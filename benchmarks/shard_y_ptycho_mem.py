@@ -123,7 +123,7 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20):
     print("RESULT " + json.dumps(result), flush=True)
 
 
-def run_virtual(size=512, ndev=8, execute=False):
+def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -134,7 +134,8 @@ def run_virtual(size=512, ndev=8, execute=False):
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     code = ("import benchmarks.shard_y_ptycho_mem as m; "
-            "m.run_virtual_child(%d, %d, %r)" % (size, ndev, execute))
+            "m.run_virtual_child(%d, %d, %r, n_dp_batch=%d)"
+            % (size, ndev, execute, n_dp_batch))
     t0 = time.time()
     proc = subprocess.run([sys.executable, "-u", "-c", code], env=env,
                           capture_output=True, text=True)
@@ -146,7 +147,8 @@ def run_virtual(size=512, ndev=8, execute=False):
             if l.startswith("RESULT ")][-1]
     result = json.loads(line[len("RESULT "):])
     result["wall_seconds"] = round(time.time() - t0, 1)
-    fname = os.path.join(OUT, "shard_y_ptycho_%d.json" % size)
+    suffix = "_executed" if execute else ""
+    fname = os.path.join(OUT, "shard_y_ptycho_%d%s.json" % (size, suffix))
     with open(fname, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
@@ -158,5 +160,6 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--ndev", type=int, default=8)
     ap.add_argument("--execute", action="store_true")
+    ap.add_argument("--n-dp-batch", type=int, default=20)
     a = ap.parse_args()
-    run_virtual(a.size, a.ndev, a.execute)
+    run_virtual(a.size, a.ndev, a.execute, a.n_dp_batch)

@@ -122,6 +122,42 @@ FULLFIELD_PRESETS = {
                         "object_type": "phase_only",
                         "forward_algorithm": "fresnel", "obj_dim_z": 1},
     },
+    # 2d_cell scaled beyond the reference's largest plane (1024^2,
+    # ref reconstruct_fullfield.py:160-206): same recipe, 4x / 16x the
+    # plane area; free_prop_cm scales with the critical-sampling distance
+    # (z_crit ~ L * psize / lambda, simulation/wave_prop_overview.ipynb)
+    "2d_cell_2048": {
+        "phantom": {"kind": "cone_foam", "size": 2048, "flat": True,
+                    "delta": 4e-2, "beta": 2.4e-3},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
+                     "free_prop_cm": 2 * 0.00040322580645161285, "n_theta": 1,
+                     "theta_end": 0},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
+                        "alpha_d": 0, "alpha_b": 0, "gamma": 1e-9,
+                        "learning_rate": 4e-3, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 1,
+                        "n_epochs_mask_release": 1000, "shrink_cycle": None,
+                        "free_prop_cm": 2 * 0.00040322580645161285,
+                        "multiscale_level": 1, "probe_type": "plane",
+                        "object_type": "phase_only",
+                        "forward_algorithm": "fresnel", "obj_dim_z": 1},
+    },
+    "2d_cell_4096": {
+        "phantom": {"kind": "cone_foam", "size": 4096, "flat": True,
+                    "delta": 4e-2, "beta": 2.4e-3},
+        "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
+                     "free_prop_cm": 4 * 0.00040322580645161285, "n_theta": 1,
+                     "theta_end": 0},
+        "reconstruct": {"theta_st": 0, "theta_end": 0, "n_epochs": 200,
+                        "alpha_d": 0, "alpha_b": 0, "gamma": 1e-9,
+                        "learning_rate": 4e-3, "energy_ev": 5000,
+                        "psize_cm": 1.e-7, "minibatch_size": 1,
+                        "n_epochs_mask_release": 1000, "shrink_cycle": None,
+                        "free_prop_cm": 4 * 0.00040322580645161285,
+                        "multiscale_level": 1, "probe_type": "plane",
+                        "object_type": "phase_only",
+                        "forward_algorithm": "fresnel", "obj_dim_z": 1},
+    },
     "cone_noisy": {
         "phantom": {"kind": "cone_foam", "size": 256},
         "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7, "free_prop_cm": 1e-4,

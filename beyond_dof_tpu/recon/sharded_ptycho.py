@@ -122,7 +122,7 @@ def build_step_sharded_y_ptycho(tx, opt_state_template, mesh, obj_shape,
                                 energy_ev, psize_cm, free_prop_cm="inf",
                                 alpha_d=0.0, alpha_b=0.0, gamma=0.0,
                                 n_epochs_mask_release=None,
-                                n_dp_batch=None, remat=True):
+                                n_dp_batch=None, remat="invertible"):
     """Build the jitted Y-sharded ptycho train ``step``.
 
     ``step(params, opt_state, mask, theta, mag_slabs, epoch)`` with
