@@ -5,10 +5,10 @@ the multislice AD reconstruction (ref README.md:1-11; the truncated-kernel
 propagator cnn_propagator/propagation.py:18-133 exists only to decompose
 big planes) — yet its largest reconstructed plane is 1024^2
 (ref reconstruct_fullfield.py:160-206). This artifact reconstructs a
-(N, N, NZ) slab at N >= 2048 end to end ON ONE CHIP, with every forward
-and backward propagation running through the blocked two-pass Pallas
-kernel's invertible AD path (the production auto-route for >1024^2 planes
-in ops/multislice.py).
+(NZ, N, N) slab at N >= 2048 end to end ON ONE CHIP, with every forward
+and backward multislice propagation running through the blocked two-pass
+Pallas kernel's invertible AD path (the production auto-route for >1024^2
+planes in ops/multislice.py).
 
 Workload: beyond-depth-of-focus thick-slab in-line holography. A 32-slice
 slab at 5 keV / 1 nm voxels spans ~4 depths of focus (DOF = 2 psize^2 /
@@ -22,19 +22,28 @@ ref reconstruct_fullfield.py:160-206) — no object rotation, so the
 transverse plane never has to fit a rotation FOV and the geometry scales
 to arbitrary N on one chip.
 
-The phantom is the central (N, N, NZ) slab of the N^3 cone-foam phantom
-with 10x the cone_256 contrast (delta 8.7e-6 — at 32 slices the
-accumulated phase matches the 256-slice flagship's regime).
+Relay-safe structure (the gotchas that killed earlier big-plane benches):
+  * probes are built ON DEVICE (jitted tilt ramps) — no multi-100MB
+    closure constants in the compile POST;
+  * the measured magnitudes and the per-distance detector kernels are jit
+    ARGUMENTS (device-resident between steps), never closures;
+  * the phantom slab is uploaded slice-by-slice (16 MB chunks), the
+    result downloaded the same way;
+  * the multislice exit field is distance-independent, so the loss scans
+    the probe axis ONCE (5 blocked sweeps/epoch, not 15) and fans out to
+    the distance series with three split-DFT kernel applications.
 
 Quality is scored against the known slab: per-slice FRC (mean and central
-slice), the 3-D voxel correlation, and the per-slice correlation profile
-(depth resolution is DOF-limited by physics; the record keeps raw
-numbers + the profile rather than a single shell fraction, since 3-D FSC
-shells are ill-defined on a 64:1 aspect-ratio volume).
+slice), the z-integrated projection FRC (the in-focus quantity every
+single-DOF method measures), the 3-D voxel correlation, per-slice and
+per-DOF-band correlation profiles. Depth resolution is DOF-limited by
+physics (~8 slices here); the record keeps raw numbers + profiles rather
+than a single shell fraction, since 3-D FSC shells are ill-defined on a
+64:1 aspect-ratio volume.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python -u
            benchmarks/closed_loop_thick2048.py [--size 2048] [--nz 32]
-           [--n-epochs 150] [--lr 1e-6]
+           [--n-epochs 300] [--lr 1e-6] [--n-tilts 5] [--n-dists 3]
 """
 
 import argparse
@@ -48,84 +57,127 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def tilt_probe(size, my, mx):
-    """Integer-frequency plane-wave tilt: exp(2 pi i (my y + mx x) / N)."""
-    y = np.arange(size)[:, None]
-    x = np.arange(size)[None, :]
-    ph = 2.0 * np.pi * (my * y + mx * x) / float(size)
-    return np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32)
-
-
-def run(size=2048, nz=32, n_epochs=150, lr=1e-6, gamma=1e-9, seed=0,
-        tilt_m=64, n_dists=3, out=None, probe_epochs=0):
+def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
+        tilt_m=64, n_tilts=5, n_dists=3, out=None, n_bubbles=None):
     import jax
     import jax.numpy as jnp
     import optax
     from beyond_dof_tpu.models.phantom import cone_foam_phantom
-    from beyond_dof_tpu.ops.multislice import multislice_propagate_batch_split
-    from beyond_dof_tpu.ops.regularizers import total_variation_3d
+    from beyond_dof_tpu.models.ptycho import safe_mag
+    from beyond_dof_tpu.ops.multislice import (_final_kernel,
+                                               multislice_propagate_batch_split)
+    from beyond_dof_tpu.ops.fresnel import ifftshift2
     from beyond_dof_tpu.ops.quality import (fourier_ring_correlation,
                                             half_bit_threshold)
-    from beyond_dof_tpu.models.ptycho import safe_mag
+    from beyond_dof_tpu.ops.regularizers import total_variation_3d
+    from beyond_dof_tpu.ops.splitfft import (apply_kernel_split_perm,
+                                             permute_kernel_2d)
 
     out = out or "benchmarks/artifacts/thick_%d" % size
     os.makedirs(out, exist_ok=True)
 
+    # ---- phantom slab (host) + chunked upload ------------------------------
     t0 = time.time()
     z0 = size // 2 - nz // 2
     gd, gb = cone_foam_phantom(size, delta=8.7e-6, beta=5.1e-7,
-                               z_slab=(z0, z0 + nz))
+                               z_slab=(z0, z0 + nz), n_bubbles=n_bubbles)
+    gd = np.ascontiguousarray(np.moveaxis(gd, -1, 0))  # (Z, Y, X)
+    gb = np.ascontiguousarray(np.moveaxis(gb, -1, 0))
     t_phantom = time.time() - t0
     print("phantom", gd.shape, round(t_phantom, 1), "s", flush=True)
 
+    def upload_zfirst(a):
+        # slice-sized device_put chunks; single multi-100MB transfers have
+        # died on the relay link before (ROUND_NOTES r4)
+        return jnp.stack([jax.device_put(a[z]) for z in range(a.shape[0])])
+
+    dz_true = upload_zfirst(gd)[:, None]  # (Z, B=1, Y, X)
+    bz_true = upload_zfirst(gb)[:, None]
+    print("uploaded", flush=True)
+
+    # ---- geometry: tilt x distance series ----------------------------------
     energy_ev, psize_cm = 5000.0, 1e-7
-    # critical-sampling distance scale of the 2d_cell recipe, per plane size
+    lmbda_nm = 1240.0 / energy_ev
+    voxel_nm = np.array([psize_cm * 1e7] * 3)
+    size_nm = np.array([size, size, nz]) * voxel_nm
     base_cm = 0.00040322580645161285 * (size / 1024.0)
     dists = [base_cm * (2 ** i) for i in range(n_dists)]
-    tilts = [(0, 0), (tilt_m, 0), (-tilt_m, 0), (0, tilt_m), (0, -tilt_m)]
+    all_tilts = [(0, 0), (tilt_m, 0), (-tilt_m, 0), (0, tilt_m),
+                 (0, -tilt_m), (tilt_m, tilt_m), (-tilt_m, -tilt_m)]
+    tilts = all_tilts[:n_tilts]
 
-    probes = [tilt_probe(size, my, mx) for (my, mx) in tilts]
-    # z-first object layout: (Z, B, Y, X) grids skip the on-device
-    # transpose copy (ops/multislice grids_zfirst)
-    dz_true = jnp.asarray(np.moveaxis(gd, -1, 0)[:, None])
-    bz_true = jnp.asarray(np.moveaxis(gb, -1, 0)[:, None])
-
-    def forward(dz, bz, p_re, p_im, dist_cm):
-        return multislice_propagate_batch_split(
-            dz, bz, p_re, p_im, energy_ev, psize_cm, free_prop_cm=dist_cm,
-            propagate_last=True, remat="invertible", grids_zfirst=True)
-
-    # ---- simulate the tilt x distance hologram series ---------------------
     @jax.jit
-    def simulate(dz, bz):
-        mags = []
-        for p_re, p_im in probes:
-            for dist in dists:
-                re, im = forward(dz, bz, jnp.asarray(p_re), jnp.asarray(p_im),
-                                 dist)
-                mags.append(safe_mag(re[0], im[0]))
-        return jnp.stack(mags)
+    def make_probes():
+        y = jnp.arange(size, dtype=jnp.float32)[:, None]
+        x = jnp.arange(size, dtype=jnp.float32)[None, :]
+        res_re, res_im = [], []
+        for my, mx in tilts:
+            ph = (2.0 * np.pi / size) * (my * y + mx * x)
+            res_re.append(jnp.cos(ph))
+            res_im.append(jnp.sin(ph))
+        return jnp.stack(res_re), jnp.stack(res_im)
+
+    probes_re, probes_im = make_probes()
+    probes_re.block_until_ready()
+
+    # per-distance detector kernels, pre-permuted into the split-DFT
+    # frequency order (same as the engine's free-prop tail,
+    # ops/multislice.py) — device args, one 16/64 MB put per plane
+    h2r, h2i = [], []
+    for dist in dists:
+        h2 = _final_kernel(dist * 1e7, lmbda_nm, voxel_nm, (size, size),
+                           size_nm, "TF")
+        h2p = permute_kernel_2d(ifftshift2(np.asarray(h2)))
+        h2r.append(jax.device_put(np.real(h2p).astype(np.float32)))
+        h2i.append(jax.device_put(np.imag(h2p).astype(np.float32)))
+    h2r = jnp.stack(h2r)
+    h2i = jnp.stack(h2i)
+    print("kernels ready", flush=True)
+
+    def exit_field(dz, bz, p_re, p_im):
+        re, im = multislice_propagate_batch_split(
+            dz, bz, p_re, p_im, energy_ev, psize_cm, free_prop_cm=None,
+            propagate_last=True, remat="invertible", grids_zfirst=True)
+        return re[0], im[0]
+
+    def detector_mags(re, im, kr, ki):
+        def one(carry, h):
+            dre, dim = apply_kernel_split_perm(re[None], im[None],
+                                               h[0], h[1])
+            return carry, safe_mag(dre[0], dim[0])
+        _, mags = jax.lax.scan(one, 0.0, (kr, ki))
+        return mags  # (n_dists, N, N)
+
+    # ---- simulate the tilt x distance hologram series ----------------------
+    @jax.jit
+    def simulate(dz, bz, p_re, p_im, kr, ki):
+        def per_probe(carry, probe):
+            re, im = exit_field(dz, bz, probe[0], probe[1])
+            return carry, detector_mags(re, im, kr, ki)
+        _, mags = jax.lax.scan(per_probe, 0.0, (p_re, p_im))
+        return mags  # (n_tilts, n_dists, N, N)
 
     t0 = time.time()
-    mags_meas = simulate(dz_true, bz_true)
+    mags_meas = simulate(dz_true, bz_true, probes_re, probes_im, h2r, h2i)
     mags_meas.block_until_ready()
     t_sim = time.time() - t0
     print("simulated", mags_meas.shape, round(t_sim, 1), "s", flush=True)
 
-    # ---- reconstruct -------------------------------------------------------
-    n_views = float(len(probes) * len(dists))
+    # ---- reconstruct --------------------------------------------------------
+    n_views = float(n_tilts * n_dists)
 
-    def loss_fn(params):
+    def loss_fn(params, p_re, p_im, kr, ki, meas):
         dz, bz = params["delta"][:, None], params["beta"][:, None]
-        err = 0.0
-        i = 0
-        for p_re, p_im in probes:
-            for dist in dists:
-                re, im = forward(dz, bz, jnp.asarray(p_re), jnp.asarray(p_im),
-                                 dist)
-                err = err + jnp.mean((safe_mag(re[0], im[0])
-                                      - mags_meas[i]) ** 2)
-                i += 1
+
+        def per_probe(carry, xs):
+            pr, pi, meas_p = xs
+            re, im = exit_field(dz, bz, pr, pi)
+            mags = detector_mags(re, im, kr, ki)
+            return carry + jnp.sum(jnp.mean(
+                (mags - meas_p) ** 2, axis=(-2, -1))), None
+
+        err, _ = jax.lax.scan(per_probe, jnp.float32(0.0),
+                              (p_re, p_im, meas))
         err = err / n_views
         reg = gamma * total_variation_3d(params["delta"])
         return err + reg, err
@@ -136,8 +188,9 @@ def run(size=2048, nz=32, n_epochs=150, lr=1e-6, gamma=1e-9, seed=0,
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state):
-        (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def step(params, opt_state, p_re, p_im, kr, ki, meas):
+        (loss, err), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, p_re, p_im, kr, ki, meas)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = jax.tree.map(lambda a: jnp.maximum(a, 0.0), params)
@@ -147,19 +200,21 @@ def run(size=2048, nz=32, n_epochs=150, lr=1e-6, gamma=1e-9, seed=0,
     t_rec0 = time.time()
     for epoch in range(n_epochs):
         t0 = time.time()
-        params, opt_state, loss, err = step(params, opt_state)
+        params, opt_state, loss, err = step(params, opt_state, probes_re,
+                                            probes_im, h2r, h2i, mags_meas)
         loss = float(loss)
         epoch_times.append(round(time.time() - t0, 3))
         losses.append(loss)
-        if epoch % 10 == 0 or epoch == n_epochs - 1:
+        if epoch % 20 == 0 or epoch == n_epochs - 1:
             print("Epoch %d loss %.4e (%.2f s)" % (epoch, loss,
                                                    epoch_times[-1]),
                   flush=True)
     t_rec = time.time() - t_rec0
 
-    d = np.moveaxis(np.asarray(params["delta"]), 0, -1)  # (Y, X, Z)
+    # chunked download (Z, Y, X)
+    d = np.stack([np.asarray(params["delta"][z]) for z in range(nz)])
 
-    # ---- quality ----------------------------------------------------------
+    # ---- quality ------------------------------------------------------------
     def frc_frac(a, b):
         radii, frc = fourier_ring_correlation(a, b)
         thr = half_bit_threshold(radii, a.shape)
@@ -175,26 +230,33 @@ def run(size=2048, nz=32, n_epochs=150, lr=1e-6, gamma=1e-9, seed=0,
         return float((a * b).sum()
                      / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
 
-    slice_frc = [frc_frac(d[:, :, z], gd[:, :, z]) for z in range(nz)]
-    profile = [corr(d[:, :, z], gd[:, :, z]) for z in range(nz)]
+    slice_frc = [frc_frac(d[z], gd[z]) for z in range(nz)]
+    profile = [corr(d[z], gd[z]) for z in range(nz)]
+    proj_frc = frc_frac(d.sum(0), gd.sum(0))
+    dof_slices = 2 * (psize_cm * 1e7) ** 2 / lmbda_nm  # slices per DOF
+    band = max(1, int(round(dof_slices)))
+    dof_bands = [corr(d[i:i + band].sum(0), gd[i:i + band].sum(0))
+                 for i in range(0, nz - band + 1, band)]
     mid = nz // 2
     result = {
-        "metric": "thick_%d_central_slice_frc_half_bit_fraction" % size,
-        "value": slice_frc[mid][0],
-        "unit": "fraction of rings above 1/2-bit (central slice)",
+        "metric": "thick_%d_projection_frc_half_bit_fraction" % size,
+        "value": proj_frc[0],
+        "unit": "fraction of rings above 1/2-bit (z-integrated projection)",
         "size": size, "nz": nz, "n_views": int(n_views),
-        "tilt_m": tilt_m, "dists_cm": dists,
-        "dof_slices": 2 * (psize_cm * 1e7) ** 2 / (1240.0 / energy_ev),
+        "tilt_m": tilt_m, "n_tilts": n_tilts, "dists_cm": dists,
+        "dof_slices": dof_slices,
         "n_epochs": n_epochs, "lr": lr, "gamma": gamma,
         "phantom_seconds": round(t_phantom, 1),
         "sim_seconds": round(t_sim, 1),
         "recon_seconds": round(t_rec, 1),
         "epoch_seconds_median": float(np.median(epoch_times[1:]
                                                 or epoch_times)),
+        "projection_frc": proj_frc,
         "central_slice_frc": slice_frc[mid],
         "mean_slice_frc_fraction": float(np.mean([s[0] for s in slice_frc])),
         "volume_correlation": corr(d, gd),
         "per_slice_correlation": [round(c, 4) for c in profile],
+        "per_dof_band_correlation": [round(c, 4) for c in dof_bands],
         "loss_first_last": [losses[0], losses[-1]],
         "out": out,
     }
@@ -211,12 +273,18 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--nz", type=int, default=32)
-    ap.add_argument("--n-epochs", type=int, default=150)
+    ap.add_argument("--n-epochs", type=int, default=300)
     ap.add_argument("--lr", type=float, default=1e-6)
     ap.add_argument("--gamma", type=float, default=1e-9)
     ap.add_argument("--tilt-m", type=int, default=64)
+    ap.add_argument("--n-tilts", type=int, default=5)
     ap.add_argument("--n-dists", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--n-bubbles", type=int, default=None,
+                    help="cap the phantom bubble count (the default "
+                         "(size//8)^2 is hours of host rasterization at "
+                         "4096; the slab only intersects a fraction anyway)")
     a = ap.parse_args()
     run(a.size, a.nz, a.n_epochs, a.lr, a.gamma, tilt_m=a.tilt_m,
-        n_dists=a.n_dists, out=a.out)
+        n_tilts=a.n_tilts, n_dists=a.n_dists, out=a.out,
+        n_bubbles=a.n_bubbles)

@@ -87,6 +87,22 @@ def main(art="benchmarks/artifacts/cone_far"):
     res["corr_after_shift"] = corr(d_reg, gd)
     res["corr_twin_after_shift"] = corr(d_twin_reg, gd)
 
+    # registered record (VERDICT r4 weak item 5): the best of the exact
+    # gauge variants (identity/twin x integer shift), surfaced by
+    # collect_results.py exactly like the 2D-ptycho registered crossings
+    # (same schema as diag_ptycho_2d.py's after_nullspace_registration)
+    variants = {
+        "shift": (res["fsc_after_shift"], res["res_after_shift"]),
+        "twin+shift": (res["fsc_twin_after_shift"],
+                       res["res_twin_after_shift"]),
+    }
+    mode = max(variants, key=lambda m: variants[m][0])
+    res["after_nullspace_registration"] = {
+        "fsc_half_bit_fraction": variants[mode][0],
+        "resolution_frac_nyquist": variants[mode][1],
+        "mode": mode,
+    }
+
     with open(os.path.join(art, "gauge_analysis.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1), flush=True)

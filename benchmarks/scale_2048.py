@@ -190,6 +190,9 @@ def bench(size, nz, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--big", action="store_true", help="also run 4096^2")
+    ap.add_argument("--only", type=int, default=None,
+                    help="run ONE size (e.g. 8192 for the single-chip "
+                         "plane-ceiling probe); writes scale_<size>.json")
     a = ap.parse_args()
     prec = os.environ.get("BDT_DFT_PRECISION", "highest").lower()
     out = {"metric": "beyond_vmem_plane_scale", "precision": prec}
@@ -199,11 +202,16 @@ def main():
     except Exception:
         pass
     sizes = [(2048, 64, 5)] + ([(4096, 16, 3)] if a.big else [])
+    fname = "benchmarks/scale_2048%s.json" % (
+        "" if prec == "highest" else "_" + prec)
+    if a.only:
+        nz_iters = {2048: (64, 5), 4096: (16, 3)}
+        sizes = [(a.only,) + nz_iters.get(a.only, (4, 2))]
+        fname = "benchmarks/scale_%d.json" % a.only
     for size, nz, iters in sizes:
         out["%d" % size] = bench(size, nz, iters)
         print(size, json.dumps(out["%d" % size]), flush=True)
-    suffix = "" if prec == "highest" else "_" + prec
-    with open("benchmarks/scale_2048%s.json" % suffix, "w") as f:
+    with open(fname, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 

@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = "benchmarks"
 
 
-def run_virtual_child(size, ndev, execute, n_dp_batch=20):
+def run_virtual_child(size, ndev, execute, n_dp_batch=20,
+                      remat="invertible"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -71,7 +72,7 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20):
     step, _ = build_step_sharded_y_ptycho(
         tx, opt_state, mesh, shape, p_re, p_im, probe_pos, probe_size,
         5000, 1e-7, free_prop_cm="inf", alpha_d=1e-9, alpha_b=1e-10,
-        gamma=1e-9, n_dp_batch=n_dp_batch, remat=True)
+        gamma=1e-9, n_dp_batch=n_dp_batch, remat=remat)
 
     tables, weights, halo = build_job_tables(probe_pos, probe_size, shape,
                                              ndev)
@@ -103,6 +104,7 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20):
         "metric": "y_sharded_PTYCHO_train_step_%d_feasibility" % size,
         "size": size, "ndev": ndev, "probe": list(probe_size),
         "n_pos": int(len(probe_pos)), "n_dp_batch": n_dp_batch,
+        "remat": str(remat),
         "halo_rows": int(halo), "max_jobs_per_slab": int(tables.shape[1]),
         "build_seconds": round(t_build, 1),
         "compile_seconds": round(t_compile, 1),
@@ -123,7 +125,8 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20):
     print("RESULT " + json.dumps(result), flush=True)
 
 
-def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20):
+def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20,
+                remat="invertible"):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -134,8 +137,8 @@ def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20):
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     code = ("import benchmarks.shard_y_ptycho_mem as m; "
-            "m.run_virtual_child(%d, %d, %r, n_dp_batch=%d)"
-            % (size, ndev, execute, n_dp_batch))
+            "m.run_virtual_child(%d, %d, %r, n_dp_batch=%d, remat=%r)"
+            % (size, ndev, execute, n_dp_batch, remat))
     t0 = time.time()
     proc = subprocess.run([sys.executable, "-u", "-c", code], env=env,
                           capture_output=True, text=True)
@@ -161,5 +164,7 @@ if __name__ == "__main__":
     ap.add_argument("--ndev", type=int, default=8)
     ap.add_argument("--execute", action="store_true")
     ap.add_argument("--n-dp-batch", type=int, default=20)
+    ap.add_argument("--remat", default="invertible")
     a = ap.parse_args()
-    run_virtual(a.size, a.ndev, a.execute, a.n_dp_batch)
+    remat = {"True": True, "False": False}.get(a.remat, a.remat)
+    run_virtual(a.size, a.ndev, a.execute, a.n_dp_batch, remat)

@@ -143,8 +143,10 @@ FULLFIELD_PRESETS = {
                         "forward_algorithm": "fresnel", "obj_dim_z": 1},
     },
     "2d_cell_4096": {
+        # n_bubbles capped: the default (size//8)^2 = 262k would be >10 min
+        # of host rasterization; the cap only thins the foam density
         "phantom": {"kind": "cone_foam", "size": 4096, "flat": True,
-                    "delta": 4e-2, "beta": 2.4e-3},
+                    "delta": 4e-2, "beta": 2.4e-3, "n_bubbles": 60000},
         "simulate": {"energy_ev": 5000, "psize_cm": 1.e-7,
                      "free_prop_cm": 4 * 0.00040322580645161285, "n_theta": 1,
                      "theta_end": 0},
@@ -329,7 +331,8 @@ def make_phantom(spec):
         # the mid slab — identical values, seconds instead of ~13 min of
         # host time at 1024
         slab = (size // 2, size // 2 + 1) if flat else None
-        kw = {k: spec[k] for k in ("delta", "beta") if k in spec}
+        kw = {k: spec[k] for k in ("delta", "beta", "n_bubbles")
+              if k in spec}
         gd, gb = cone_foam_phantom(size, z_slab=slab, **kw)
         return gd, gb
     else:
