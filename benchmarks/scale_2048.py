@@ -40,7 +40,8 @@ def bench(size, nz, iters):
     import jax.numpy as jnp
     from beyond_dof_tpu.ops.pallas_kernels import (
         multislice_pallas_split_blocked)
-    from beyond_dof_tpu.ops.multislice import multislice_propagate_batch_split
+    from beyond_dof_tpu.ops.multislice import (
+        multislice_propagate_batch_split, build_split_kernel)
 
     # Inputs are generated ON DEVICE: at 2048^2 x 64 the host->device upload
     # of 2 GB of random grids dominates (and can exceed) the whole bench over
@@ -56,13 +57,17 @@ def bench(size, nz, iters):
     delta.block_until_ready()
     w_re = jnp.ones((size, size), jnp.float32)
     w_im = jnp.zeros((size, size), jnp.float32)
+    # the pre-permuted Fresnel kernel as RUNTIME arguments: embedded as
+    # trace-time constants it is 2 x N^2 floats of compile payload
+    # (2 x 256 MB at 8192^2 -> remote-compile HTTP 413)
+    hs_r, hs_i = build_split_kernel(size, size, 5000.0, 1e-7)
 
     def timed_factory(fn):
         def make(n):
             @jax.jit
-            def timed(d, b, wr, wi):
+            def timed(d, b, wr, wi, hr, hi):
                 def body(_, w):
-                    re, im = fn(d, b, w[0], w[1])
+                    re, im = fn(d, b, w[0], w[1], hr, hi)
                     return jnp.stack([re, im])
                 w = jax.lax.fori_loop(0, n, body, jnp.stack([wr, wi]))
                 return jnp.sum(w[0] ** 2 + w[1] ** 2)
@@ -71,33 +76,33 @@ def bench(size, nz, iters):
 
     def run_one(make, tag):
         t1, t2 = make(iters), make(2 * iters)
-        float(t1(delta, beta, w_re, w_im))
-        float(t2(delta, beta, w_re, w_im))
+        float(t1(delta, beta, w_re, w_im, hs_r, hs_i))
+        float(t2(delta, beta, w_re, w_im, hs_r, hs_i))
         print("warmed", tag, flush=True)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            float(t1(delta, beta, w_re, w_im))
+            float(t1(delta, beta, w_re, w_im, hs_r, hs_i))
             d1 = time.time() - t0
             t0 = time.time()
-            float(t2(delta, beta, w_re, w_im))
+            float(t2(delta, beta, w_re, w_im, hs_r, hs_i))
             d2 = time.time() - t0
             best = min(best, (d2 - d1) / iters)
         print("timed", tag, round(nz * iters / best / iters, 1), flush=True)
         return round(nz / best, 1)
 
-    def xla_fwd(d, b, wr, wi):
+    def xla_fwd(d, b, wr, wi, hr, hi):
         return multislice_propagate_batch_split(
             d[None], b[None], wr, wi, 5000.0, 1e-7, propagate_last=True,
-            remat=False, use_pallas=False)
+            remat=False, use_pallas=False, h_split=(hr, hi))
 
-    def xla_call(d, b, wr, wi):
-        re, im = xla_fwd(d, b, wr, wi)
+    def xla_call(d, b, wr, wi, hr, hi):
+        re, im = xla_fwd(d, b, wr, wi, hr, hi)
         return re[0], im[0]
 
-    def blocked_call(d, b, wr, wi):
+    def blocked_call(d, b, wr, wi, hr, hi):
         return multislice_pallas_split_blocked(
-            d, b, wr, wi, 5000.0, 1e-7)
+            d, b, wr, wi, 5000.0, 1e-7, h_split=(hr, hi))
 
     # training step through the production router (remat='invertible'):
     # route False = XLA invertible backward, 'blocked' = the blocked
@@ -107,10 +112,11 @@ def bench(size, nz, iters):
         # which the unitary propagation preserves exactly (d loss/d delta
         # == 0 identically) — its "gradient" is pure numerical noise and
         # parity on it is meaningless. A fixed target breaks the symmetry.
-        def f(d, b, wr, wi):
+        def f(d, b, wr, wi, hr, hi):
             re, im = multislice_propagate_batch_split(
                 d[None], b[None], wr, wi, 5000.0, 1e-7,
-                propagate_last=True, remat="invertible", use_pallas=route)
+                propagate_last=True, remat="invertible", use_pallas=route,
+                h_split=(hr, hi))
             return jnp.mean((re[0] - 0.3) ** 2 + (im[0] + 0.1) ** 2)
         return jax.grad(f, argnums=(0, 1))
 
@@ -119,9 +125,9 @@ def bench(size, nz, iters):
 
         def make(n):
             @jax.jit
-            def timed(d, b, wr, wi):
+            def timed(d, b, wr, wi, hr, hi):
                 def body(_, acc):
-                    gd_, gb_ = g(d, b, wr + acc * 1e-20, wi)
+                    gd_, gb_ = g(d, b, wr + acc * 1e-20, wi, hr, hi)
                     return jnp.mean(gd_) + jnp.mean(gb_)
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
             return timed
@@ -131,27 +137,27 @@ def bench(size, nz, iters):
     # planes to the host is tens of MB over the relay link and dominates
     # the whole bench otherwise.
     @jax.jit
-    def parity(d, b, wr, wi):
-        bre, bim = blocked_call(d, b, wr, wi)
-        xre, xim = xla_call(d, b, wr, wi)
+    def parity(d, b, wr, wi, hr, hi):
+        bre, bim = blocked_call(d, b, wr, wi, hr, hi)
+        xre, xim = xla_call(d, b, wr, wi, hr, hi)
         amp_b = jnp.sqrt(bre * bre + bim * bim)
         amp_x = jnp.sqrt(xre * xre + xim * xim)
         return jnp.max(jnp.abs(amp_b - amp_x) / (jnp.abs(amp_x) + 1e-6))
 
     @jax.jit
-    def grad_parity(d, b, wr, wi):
-        gd_b, gb_b = grad_fn("blocked")(d, b, wr, wi)
-        gd_x, gb_x = grad_fn(False)(d, b, wr, wi)
+    def grad_parity(d, b, wr, wi, hr, hi):
+        gd_b, gb_b = grad_fn("blocked")(d, b, wr, wi, hr, hi)
+        gd_x, gb_x = grad_fn(False)(d, b, wr, wi, hr, hi)
         rel = lambda a, r: jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r))
                                                       + 1e-30)
         return jnp.maximum(rel(gd_b, gd_x), rel(gb_b, gb_x))
 
     t0 = time.time()
-    max_rel = float(parity(delta, beta, w_re, w_im))
+    max_rel = float(parity(delta, beta, w_re, w_im, hs_r, hs_i))
     print("parity", size, max_rel, round(time.time() - t0, 1), "s",
           flush=True)
     t0 = time.time()
-    grad_rel = float(grad_parity(delta, beta, w_re, w_im))
+    grad_rel = float(grad_parity(delta, beta, w_re, w_im, hs_r, hs_i))
     print("grad parity", size, grad_rel, round(time.time() - t0, 1), "s",
           flush=True)
 

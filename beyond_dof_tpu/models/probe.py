@@ -63,17 +63,22 @@ def build_probe(probe_type, shape, probe_initial=None, pupil_function=None,
     value; the engine registers it as a trainable parameter.
     (ref fullfield.py:308-351.)
     """
+    def _initial_to_complex(initial):
+        # (mag, phase) pair like the reference's probe_initial
+        # (ref fullfield.py:316-321) OR a ready complex wavefront like the
+        # simulators' wavefront_initial (ref simulation.py:183-189)
+        if isinstance(initial, (tuple, list)) and len(initial) == 2:
+            re, im = mag_phase_to_real_imag(initial[0], initial[1])
+            return (re + 1j * im).astype(np.complex64)
+        return np.asarray(initial, dtype=np.complex64)
+
     if probe_type in ("plane", "point"):
         probe = np.ones(shape, dtype=np.complex64)
     elif probe_type == "fixed":
-        probe_mag, probe_phase = probe_initial
-        re, im = mag_phase_to_real_imag(probe_mag, probe_phase)
-        probe = (re + 1j * im).astype(np.complex64)
+        probe = _initial_to_complex(probe_initial)
     elif probe_type == "optimizable":
         if probe_initial is not None:
-            probe_mag, probe_phase = probe_initial
-            re, im = mag_phase_to_real_imag(probe_mag, probe_phase)
-            probe = (re + 1j * im).astype(np.complex64)
+            probe = _initial_to_complex(probe_initial)
         else:
             probe = create_probe_initial_guess(data, back_prop_nm, energy_ev, psize_nm)
     elif probe_type == "gaussian":

@@ -422,12 +422,34 @@ def _msi_bwd(k, res, cot):
 _multislice_split_invertible.defvjp(_msi_fwd, _msi_bwd)
 
 
+def build_split_kernel(dim_y, dim_x, energy_ev, psize_cm, base=None):
+    """Pre-permuted split Fresnel kernel ``(hr, hi)`` as device arrays.
+
+    Builds the slice kernel exactly as :func:`multislice_propagate_batch_split`
+    would (float64 host build, ifftshift + DIF permutation folded in), but
+    EAGERLY — callers that trace the propagation under ``jit`` can pass the
+    result through ``h_split=`` as runtime arguments instead of having the
+    (Y, X) tables embedded as trace-time constants. At 8192^2 the embedded
+    constants alone are 2 x 256 MB of compile payload, which overflows
+    remote-compile transports; as arguments they are a one-time upload.
+    """
+    from .splitfft import permute_kernel_2d
+
+    voxel_nm = np.array([psize_cm] * 3) * 1.0e7
+    lmbda_nm = 1240.0 / energy_ev
+    h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
+    h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
+    return (jnp.asarray(np.real(h_p).astype(np.float32)),
+            jnp.asarray(np.imag(h_p).astype(np.float32)))
+
+
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
                                      remat=True, grids_zfirst=False,
                                      use_pallas=None,
-                                     free_prop_algorithm="TF"):
+                                     free_prop_algorithm="TF",
+                                     h_split=None):
     """Split-complex multislice: identical physics, no complex dtypes.
 
     For TPU backends without complex64 support (SURVEY §7 hard part; the
@@ -458,14 +480,20 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
     size_nm = np.array([dim_y, dim_x, n_slice]) * voxel_nm
     k = np.float32(2.0 * PI * delta_nm / lmbda_nm)
 
-    if h is None:
-        h = get_kernel(delta_nm, lmbda_nm, voxel_nm, (dim_y, dim_x))
-    # pre-permute the kernel into the DIF transform's frequency order: the
-    # hot loop then runs the radix-reduced permuted-order transform pair
-    # with zero on-device reordering
-    h_ifp = permute_kernel_2d(ifftshift2(np.asarray(h)))
-    hr = jnp.asarray(np.real(h_ifp).astype(np.float32))
-    hi = jnp.asarray(np.imag(h_ifp).astype(np.float32))
+    if h_split is not None:
+        # pre-permuted split kernel supplied as runtime arrays (see
+        # build_split_kernel): nothing is embedded in the traced program
+        hr = jnp.asarray(h_split[0], jnp.float32)
+        hi = jnp.asarray(h_split[1], jnp.float32)
+    else:
+        if h is None:
+            h = get_kernel(delta_nm, lmbda_nm, voxel_nm, (dim_y, dim_x))
+        # pre-permute the kernel into the DIF transform's frequency order:
+        # the hot loop then runs the radix-reduced permuted-order transform
+        # pair with zero on-device reordering
+        h_ifp = permute_kernel_2d(ifftshift2(np.asarray(h)))
+        hr = jnp.asarray(np.real(h_ifp).astype(np.float32))
+        hi = jnp.asarray(np.imag(h_ifp).astype(np.float32))
 
     w_re = jnp.broadcast_to(jnp.asarray(probe_re, jnp.float32),
                             (batch, dim_y, dim_x))

@@ -929,7 +929,7 @@ multislice_pallas_blocked_invertible.defvjp(_mpb_fwd, _mpb_bwd)
 def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
                                     energy_ev, psize_cm, h=None,
                                     interpret=None, py=128, qx=128,
-                                    base=None):
+                                    base=None, h_split=None):
     """Blocked two-pass fused multislice for big square planes (one volume).
 
     Semantics identical to :func:`multislice_pallas_split` (modulate +
@@ -948,11 +948,19 @@ def multislice_pallas_split_blocked(grid_delta, grid_beta, probe_re, probe_im,
     voxel_nm = np.array([psize_cm] * 3) * 1e7
     lmbda_nm = 1240.0 / energy_ev
     k = np.float32(2.0 * PI * voxel_nm[-1] / lmbda_nm)
-    if h is None:
-        h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
-    h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
-    hr = jnp.asarray(np.real(h_p).astype(np.float32))
-    hi = jnp.asarray(np.imag(h_p).astype(np.float32))
+    if h_split is not None:
+        # pre-permuted split kernel as runtime arrays (multislice.
+        # build_split_kernel): avoids embedding two (Y, X) trace-time
+        # constants — 256 MB each at 8192^2, which overflows
+        # remote-compile transports
+        hr = jnp.asarray(h_split[0], jnp.float32)
+        hi = jnp.asarray(h_split[1], jnp.float32)
+    else:
+        if h is None:
+            h = get_kernel(voxel_nm[-1], lmbda_nm, voxel_nm, (dim_y, dim_x))
+        h_p = permute_kernel_2d(ifftshift2(np.asarray(h)), base=base)
+        hr = jnp.asarray(np.real(h_p).astype(np.float32))
+        hi = jnp.asarray(np.imag(h_p).astype(np.float32))
 
     delta_z = jnp.moveaxis(grid_delta, -1, 0)
     beta_z = jnp.moveaxis(grid_beta, -1, 0)

@@ -44,6 +44,15 @@ def fourier_shell_correlation(obj, ref, step_size=1):
     """
     obj = jnp.asarray(obj)
     ref = jnp.asarray(ref)
+    squeeze = tuple(i for i, n in enumerate(obj.shape) if n == 1)
+    if squeeze and obj.ndim - len(squeeze) == 2:
+        # single-slice volume (e.g. the 2D presets' (Y, X, 1) objects,
+        # ref reconstruct_fullfield.py:160-206): the shells degenerate to
+        # rings, so the FSC of the volume IS the FRC of the slice — with
+        # min(shape)//2 == 0 the shell sampling would otherwise be empty
+        return fourier_ring_correlation(jnp.squeeze(obj, squeeze),
+                                        jnp.squeeze(ref, squeeze),
+                                        step_size)
     radius_max = int(min(obj.shape) / 2)
     bins = jnp.asarray(radial_bin_index(obj.shape, step_size))
     n_bins = int(bins.max()) + 1

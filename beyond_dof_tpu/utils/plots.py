@@ -38,7 +38,7 @@ def plot_fsc(obj, ref, save_path="fsc", step_size=1, ring=False):
     np.save(os.path.join(save_path, "radii.npy"), radii)
     np.save(os.path.join(save_path, "fsc.npy"), curve)
     plt = _plt()
-    if plt is not None:
+    if plt is not None and len(radii):
         plt.figure()
         plt.plot(np.asarray(radii, float) / radii[-1], curve[: len(radii)])
         plt.xlabel("Spatial frequency (1 / Nyquist)")

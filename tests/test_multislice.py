@@ -126,3 +126,31 @@ def test_fd_split_matches_complex():
         np.testing.assert_allclose(np.abs(out_s), np.abs(out_c),
                                    rtol=1e-4,
                                    atol=5e-6 * float(np.abs(out_c).max()))
+
+
+def test_h_split_runtime_kernel_matches_embedded():
+    """build_split_kernel passed through h_split= (runtime arrays, nothing
+    embedded in the traced program — the 8192^2 compile-payload fix) is
+    bit-identical to the default trace-time-constant kernel build."""
+    from beyond_dof_tpu.ops.multislice import (
+        build_split_kernel, multislice_propagate_batch_split)
+    rng = np.random.RandomState(7)
+    n, nz = 16, 3
+    gd = jnp.asarray((rng.rand(1, n, n, nz) * 1e-6).astype(np.float32))
+    gb = jnp.asarray((rng.rand(1, n, n, nz) * 1e-7).astype(np.float32))
+    pr = jnp.ones((1, n, n), jnp.float32)
+    pi_ = jnp.zeros((1, n, n), jnp.float32)
+    hs = build_split_kernel(n, n, 5000.0, 1e-7)
+
+    re0, im0 = multislice_propagate_batch_split(
+        gd, gb, pr, pi_, 5000.0, 1e-7, remat=False, use_pallas=False)
+
+    @jax.jit
+    def with_args(d, b, wr, wi, hr, hi):
+        return multislice_propagate_batch_split(
+            d, b, wr, wi, 5000.0, 1e-7, remat=False, use_pallas=False,
+            h_split=(hr, hi))
+
+    re1, im1 = with_args(gd, gb, pr, pi_, *hs)
+    np.testing.assert_allclose(np.asarray(re1), np.asarray(re0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(im1), np.asarray(im0), atol=1e-6)

@@ -36,3 +36,16 @@ def test_snr_definition():
     noise = rng.normal(scale=0.1, size=clean.shape)
     val = float(snr(clean, clean + noise))
     assert abs(val - np.var(clean) / np.var(noise)) / val < 1e-5
+
+
+def test_fsc_single_slice_volume_degenerates_to_frc():
+    """FSC of a (Y, X, 1) volume — the 2D presets' object layout
+    (ref reconstruct_fullfield.py:160-206) — must return the slice's FRC,
+    not an empty shell sampling (min(shape)//2 == 0)."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(64, 64).astype(np.float32)
+    ref = img + rng.normal(scale=0.1, size=img.shape).astype(np.float32)
+    r3, c3 = fourier_shell_correlation(img[:, :, None], ref[:, :, None])
+    r2, c2 = fourier_ring_correlation(img, ref)
+    assert len(r3) == len(r2) > 0
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c2), atol=1e-6)
