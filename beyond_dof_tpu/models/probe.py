@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from ..ops.fresnel import get_kernel
 
 __all__ = ["mag_phase_to_real_imag", "real_imag_to_mag_phase",
-           "gaussian_probe", "build_probe", "create_probe_initial_guess"]
+           "gaussian_probe", "build_probe", "create_probe_initial_guess",
+           "create_probe_initial_guess_farfield"]
 
 
 def mag_phase_to_real_imag(mag, phase):
@@ -54,9 +55,34 @@ def create_probe_initial_guess(data, dist_nm, energy_ev, psize_nm):
     return np.fft.ifft2(np.fft.ifftshift(spec)).astype(np.complex64)
 
 
+def create_probe_initial_guess_farfield(data, dist_nm, energy_ev, psize_nm):
+    """Optimizable-probe seed from FAR-FIELD diffraction magnitudes.
+
+    The near-field variant above treats the mean measured magnitude as an
+    image-plane wavefront — applied to far-field ptycho patterns it returns
+    a probe whose energy is off by the (unnormalized-FFT) pattern/probe
+    energy ratio (measured 18x on the adhesin workload; joint optimization
+    then diverges). Here the mean CENTERED far-field magnitude is brought
+    back to the exit plane with the inverse of the engine's own far-field
+    map — ``exit = ifft2(ifftshift(pattern))`` under the unnormalized-FFT
+    convention of ``free_prop_cm='inf'`` (ops/multislice.py) — which makes
+    the seed's energy automatically equal the mean pattern energy / N^2 =
+    ||probe||^2 for a weak (|T|~1) object (Parseval; verified to 5 digits
+    on simulated data). The zero-phase assumption in k-space is the
+    standard ptychography seed; the thickness back-propagation then matches
+    the near-field variant (ref util.py:1081-1091 semantics).
+    """
+    pattern = np.mean(np.abs(np.asarray(data)), axis=0)
+    wavefront = np.fft.ifft2(np.fft.ifftshift(pattern))
+    lmbda_nm = 1.24 / energy_ev
+    h = get_kernel(-dist_nm, lmbda_nm, [psize_nm, psize_nm], wavefront.shape)
+    spec = np.fft.fftshift(np.fft.fft2(wavefront)) * h
+    return np.fft.ifft2(np.fft.ifftshift(spec)).astype(np.complex64)
+
+
 def build_probe(probe_type, shape, probe_initial=None, pupil_function=None,
                 data=None, back_prop_nm=None, energy_ev=None, psize_nm=None,
-                **kwargs):
+                far_field=False, **kwargs):
     """Construct the initial complex probe for a given probe_type.
 
     Returns a complex64 (H, W) array. For 'optimizable' this is the *initial*
@@ -79,6 +105,12 @@ def build_probe(probe_type, shape, probe_initial=None, pupil_function=None,
     elif probe_type == "optimizable":
         if probe_initial is not None:
             probe = _initial_to_complex(probe_initial)
+        elif far_field:
+            # far-field (free_prop='inf') data: energy-correct seed through
+            # the inverse far-field map; the near-field backprop init is
+            # ~18x off in norm on diffraction patterns and diverges
+            probe = create_probe_initial_guess_farfield(
+                data, back_prop_nm, energy_ev, psize_nm)
         else:
             probe = create_probe_initial_guess(data, back_prop_nm, energy_ev, psize_nm)
     elif probe_type == "gaussian":

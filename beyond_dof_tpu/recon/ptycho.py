@@ -226,6 +226,9 @@ def reconstruct_ptychography(probe_pos, probe_size, obj_size, fname=None,
                             data=probe_data,
                             back_prop_nm=back_prop_cm * 1e7,
                             energy_ev=energy_ev, psize_nm=psize_cm * 1e7,
+                            far_field=(free_prop_cm is None
+                                       or (isinstance(free_prop_cm, str)
+                                           and free_prop_cm == "inf")),
                             **kwargs)
         probe_mask = None
         if probe_circ_mask is not None:
