@@ -36,7 +36,8 @@ OUT = "benchmarks"
 
 
 def run_virtual_child(size, ndev, execute, n_dp_batch=20,
-                      remat="invertible"):
+                      remat="invertible", ext_dtype=None,
+                      checkpoint_ext=False):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -72,7 +73,8 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20,
     step, _ = build_step_sharded_y_ptycho(
         tx, opt_state, mesh, shape, p_re, p_im, probe_pos, probe_size,
         5000, 1e-7, free_prop_cm="inf", alpha_d=1e-9, alpha_b=1e-10,
-        gamma=1e-9, n_dp_batch=n_dp_batch, remat=remat)
+        gamma=1e-9, n_dp_batch=n_dp_batch, remat=remat,
+        ext_dtype=ext_dtype, checkpoint_ext=checkpoint_ext)
 
     tables, weights, halo = build_job_tables(probe_pos, probe_size, shape,
                                              ndev)
@@ -104,7 +106,8 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20,
         "metric": "y_sharded_PTYCHO_train_step_%d_feasibility" % size,
         "size": size, "ndev": ndev, "probe": list(probe_size),
         "n_pos": int(len(probe_pos)), "n_dp_batch": n_dp_batch,
-        "remat": str(remat),
+        "remat": str(remat), "ext_dtype": ext_dtype,
+        "checkpoint_ext": bool(checkpoint_ext),
         "halo_rows": int(halo), "max_jobs_per_slab": int(tables.shape[1]),
         "build_seconds": round(t_build, 1),
         "compile_seconds": round(t_compile, 1),
@@ -126,7 +129,8 @@ def run_virtual_child(size, ndev, execute, n_dp_batch=20,
 
 
 def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20,
-                remat="invertible"):
+                remat="invertible", ext_dtype=None, checkpoint_ext=False,
+                tag=""):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -137,8 +141,10 @@ def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20,
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     code = ("import benchmarks.shard_y_ptycho_mem as m; "
-            "m.run_virtual_child(%d, %d, %r, n_dp_batch=%d, remat=%r)"
-            % (size, ndev, execute, n_dp_batch, remat))
+            "m.run_virtual_child(%d, %d, %r, n_dp_batch=%d, remat=%r, "
+            "ext_dtype=%r, checkpoint_ext=%r)"
+            % (size, ndev, execute, n_dp_batch, remat, ext_dtype,
+               checkpoint_ext))
     t0 = time.time()
     proc = subprocess.run([sys.executable, "-u", "-c", code], env=env,
                           capture_output=True, text=True)
@@ -150,7 +156,7 @@ def run_virtual(size=512, ndev=8, execute=False, n_dp_batch=20,
             if l.startswith("RESULT ")][-1]
     result = json.loads(line[len("RESULT "):])
     result["wall_seconds"] = round(time.time() - t0, 1)
-    suffix = "_executed" if execute else ""
+    suffix = ("_" + tag if tag else "") + ("_executed" if execute else "")
     fname = os.path.join(OUT, "shard_y_ptycho_%d%s.json" % (size, suffix))
     with open(fname, "w") as f:
         json.dump(result, f, indent=1)
@@ -165,6 +171,10 @@ if __name__ == "__main__":
     ap.add_argument("--execute", action="store_true")
     ap.add_argument("--n-dp-batch", type=int, default=20)
     ap.add_argument("--remat", default="invertible")
+    ap.add_argument("--ext-dtype", default=None)
+    ap.add_argument("--checkpoint-ext", action="store_true")
+    ap.add_argument("--tag", default="")
     a = ap.parse_args()
     remat = {"True": True, "False": False}.get(a.remat, a.remat)
-    run_virtual(a.size, a.ndev, a.execute, a.n_dp_batch, remat)
+    run_virtual(a.size, a.ndev, a.execute, a.n_dp_batch, remat,
+                a.ext_dtype, a.checkpoint_ext, a.tag)

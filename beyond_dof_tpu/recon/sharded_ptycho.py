@@ -55,6 +55,17 @@ __all__ = ["build_job_tables", "arrange_data_y",
            "build_step_sharded_y_ptycho"]
 
 
+def needs_x_pad(probe_pos, probe_size, dim_x):
+    """True when any probe window overhangs the volume in X (the reference's
+    compute_pad_arr X branch, ref ptychography.py:45-61). The standard
+    uniform-grid geometries never do — skipping the pad then saves two
+    padded-slab copies per angle at 1024^3 scale."""
+    probe_pos = np.asarray(probe_pos, dtype=int)
+    half_x = probe_size[1] // 2
+    starts = probe_pos[:, 1] - half_x
+    return bool((starts < 0).any() or (starts + probe_size[1] > dim_x).any())
+
+
 def build_job_tables(probe_pos, probe_size, obj_shape, n_ty):
     """Host-side static position->slab assignment.
 
@@ -80,11 +91,14 @@ def build_job_tables(probe_pos, probe_size, obj_shape, n_ty):
     # local = s - (slab_start - halo); X start = pos_x - half_x + half_x pad
     halo = half_y
     jobs = [[] for _ in range(n_ty)]
+    x_off = half_x if needs_x_pad(probe_pos, probe_size, dim_x) else 0
     for (y, x), d in zip(probe_pos, owner):
         s = y - half_y - (d * tile_y - halo)
         assert 0 <= s <= tile_y + 2 * halo - py, (
             "window (y=%d) escapes slab %d's halo; widen halo" % (y, d))
-        jobs[d].append((s, x))  # X handled with a half_x pad below
+        # X start in the step's frame: pos_x - half_x, shifted by half_x
+        # when the step pads X (only when some window actually overhangs)
+        jobs[d].append((s, x - half_x + x_off))
     max_jobs = max(len(j) for j in jobs)
     tables = np.zeros((n_ty, max_jobs, 2), np.int32)
     weights = np.zeros((n_ty, max_jobs), np.float32)
@@ -122,12 +136,24 @@ def build_step_sharded_y_ptycho(tx, opt_state_template, mesh, obj_shape,
                                 energy_ev, psize_cm, free_prop_cm="inf",
                                 alpha_d=0.0, alpha_b=0.0, gamma=0.0,
                                 n_epochs_mask_release=None,
-                                n_dp_batch=None, remat="invertible"):
+                                n_dp_batch=None, remat="invertible",
+                                ext_dtype=None, checkpoint_ext=False):
     """Build the jitted Y-sharded ptycho train ``step``.
 
     ``step(params, opt_state, mask, theta, mag_slabs, epoch)`` with
     ``mag_slabs`` laid out by :func:`arrange_data_y`; params/opt_state/mask
     Y-sharded via :func:`recon.sharded.shard_state_y`.
+
+    Memory levers for the 16 GB/device regime (1024^3-class steps):
+      * the X pad is applied only when some window actually overhangs the
+        volume (:func:`needs_x_pad`) — the uniform grids never do;
+      * ``ext_dtype='bfloat16'`` carries the rotated extended slabs (and
+        their backward cotangents) in bf16 — windows are cast back to f32
+        before the multislice sweep, so only the OBJECT SAMPLING of each
+        window is quantized (delta/beta magnitudes, ~3 decimal digits),
+        not the propagation arithmetic;
+      * ``checkpoint_ext=True`` rematerializes the rotate+halo-exchange
+        pipeline in the backward instead of storing the extended slabs.
     """
     from ..ops.multislice import multislice_propagate_batch_split
 
@@ -161,9 +187,10 @@ def build_step_sharded_y_ptycho(tx, opt_state_template, mesh, obj_shape,
             t = t + jnp.where(idx < n_ty - 1, bound, 0.0)
         return t
 
-    def local_loss(params_l, mask_l, theta, table_l, w_l, mag_l):
-        # shard_map keeps the sharded leading axis as size 1 — drop it
-        table_l, w_l, mag_l = table_l[0], w_l[0], mag_l[0]
+    x_pad = half_x if needs_x_pad(probe_pos, probe_size,
+                                  dim_x) else 0
+
+    def build_ext(params_l, mask_l, theta):
         obj_d = params_l["delta"] * mask_l
         obj_b = params_l["beta"] * mask_l
         # slab-local per-Y-row rotation, z-first output (Z, tile_y, X)
@@ -173,18 +200,33 @@ def build_step_sharded_y_ptycho(tx, opt_state_template, mesh, obj_shape,
         # volume rows read the analytic zero pad (ref ptychography.py:45-61)
         d_ext = halo_exchange_1d(d_rot, halo, 1, "ty", edge_val=0.0)
         b_ext = halo_exchange_1d(b_rot, halo, 1, "ty", edge_val=0.0)
-        # X pad: windows may overhang in X too (compute_pad_arr X branch)
-        d_ext = jnp.pad(d_ext, ((0, 0), (0, 0), (half_x, half_x)))
-        b_ext = jnp.pad(b_ext, ((0, 0), (0, 0), (half_x, half_x)))
+        # X pad only when a window actually overhangs (compute_pad_arr X
+        # branch); the uniform grids never do, saving two padded copies
+        if x_pad:
+            d_ext = jnp.pad(d_ext, ((0, 0), (0, 0), (x_pad, x_pad)))
+            b_ext = jnp.pad(b_ext, ((0, 0), (0, 0), (x_pad, x_pad)))
+        if ext_dtype is not None:
+            d_ext = d_ext.astype(ext_dtype)
+            b_ext = b_ext.astype(ext_dtype)
+        return obj_d, obj_b, d_ext, b_ext
+
+    if checkpoint_ext:
+        build_ext = jax.checkpoint(build_ext)
+
+    def local_loss(params_l, mask_l, theta, table_l, w_l, mag_l):
+        # shard_map keeps the sharded leading axis as size 1 — drop it
+        table_l, w_l, mag_l = table_l[0], w_l[0], mag_l[0]
+        obj_d, obj_b, d_ext, b_ext = build_ext(params_l, mask_l, theta)
 
         def gather(job):
             sl_d = jax.lax.dynamic_slice(
                 d_ext, (0, job[0], job[1]), (n_slice, py, px))
             sl_b = jax.lax.dynamic_slice(
                 b_ext, (0, job[0], job[1]), (n_slice, py, px))
-            # (Z, py, px) -> (py, px, Z) for the multislice batch layout
-            return (jnp.transpose(sl_d, (1, 2, 0)),
-                    jnp.transpose(sl_b, (1, 2, 0)))
+            # (Z, py, px) -> (py, px, Z) for the multislice batch layout,
+            # back to f32 if the ext slabs are carried quantized
+            return (jnp.transpose(sl_d, (1, 2, 0)).astype(jnp.float32),
+                    jnp.transpose(sl_b, (1, 2, 0)).astype(jnp.float32))
 
         def fwd_chunk(jobs_chunk):
             pd, pb = jax.vmap(gather)(jobs_chunk)
