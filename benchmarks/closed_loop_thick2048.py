@@ -77,12 +77,20 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
     os.makedirs(out, exist_ok=True)
 
     # ---- phantom slab (host) + chunked upload ------------------------------
+    # host rasterization is ~25 min at 4096 — cache the deterministic slab
     t0 = time.time()
     z0 = size // 2 - nz // 2
-    gd, gb = cone_foam_phantom(size, delta=8.7e-6, beta=5.1e-7,
-                               z_slab=(z0, z0 + nz), n_bubbles=n_bubbles)
-    gd = np.ascontiguousarray(np.moveaxis(gd, -1, 0))  # (Z, Y, X)
-    gb = np.ascontiguousarray(np.moveaxis(gb, -1, 0))
+    cache = "/tmp/thick_phantom_%d_%d_%s.npz" % (size, nz, n_bubbles)
+    if os.path.exists(cache):
+        zf = np.load(cache)
+        gd, gb = zf["gd"], zf["gb"]
+    else:
+        gd, gb = cone_foam_phantom(size, delta=8.7e-6, beta=5.1e-7,
+                                   z_slab=(z0, z0 + nz),
+                                   n_bubbles=n_bubbles)
+        gd = np.ascontiguousarray(np.moveaxis(gd, -1, 0))  # (Z, Y, X)
+        gb = np.ascontiguousarray(np.moveaxis(gb, -1, 0))
+        np.savez(cache, gd=gd, gb=gb)
     t_phantom = time.time() - t0
     print("phantom", gd.shape, round(t_phantom, 1), "s", flush=True)
 
