@@ -59,8 +59,23 @@ def bench(size, nz, iters):
     w_im = jnp.zeros((size, size), jnp.float32)
     # the pre-permuted Fresnel kernel as RUNTIME arguments: embedded as
     # trace-time constants it is 2 x N^2 floats of compile payload
-    # (2 x 256 MB at 8192^2 -> remote-compile HTTP 413)
+    # (2 x 256 MB at 8192^2 -> remote-compile HTTP 413); uploaded in
+    # row-chunks — single multi-100MB transfers stall/die on the relay
+    # link (ROUND_NOTES landmines)
     hs_r, hs_i = build_split_kernel(size, size, 5000.0, 1e-7)
+
+    def upload_chunked(a, rows=1024):
+        a = np.asarray(a)
+        parts = [jax.device_put(a[i:i + rows])
+                 for i in range(0, a.shape[0], rows)]
+        out = jnp.concatenate(parts, axis=0)
+        out.block_until_ready()
+        return out
+
+    if size > 4096:
+        hs_r = upload_chunked(hs_r)
+        hs_i = upload_chunked(hs_i)
+        print("kernel uploaded", flush=True)
 
     def timed_factory(fn):
         def make(n):

@@ -22,6 +22,7 @@ TPU-first design decisions
   kept the whole graph).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -553,7 +554,14 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                              "got (%d, %d)" % (dim_y, dim_x))
         if use_pallas == "blocked":
             interp = not _on_tpu()
-            py = qx = min(128, dim_y)
+            # block sizing: the backward X-pass streams 12 row windows
+            # (6 in + 6 out, double-buffered) of py x dim_x floats — at
+            # 8192^2 with py=128 that alone is 96 MB of the chip's 128 MB
+            # VMEM (measured compile OOM, 136.3 MB total); py=64 halves it
+            py = qx = min(64 if dim_y >= 8192 else 128, dim_y)
+            blk_env = os.environ.get("BDT_BLOCKED_BLOCK")
+            if blk_env:
+                py = qx = min(int(blk_env), dim_y)
 
             def sweep(dz, bz, wr_, wi_):
                 # the blocked kernel is single-volume (Z, Y, X); batch

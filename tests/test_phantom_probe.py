@@ -97,3 +97,22 @@ def test_cone_support_mask_encloses_phantom():
     assert (mask == 0).any()
     m256 = cone_support_mask(256)
     assert m256.mean() < 0.6
+
+
+def test_probe_initial_guess_farfield_energy():
+    """The far-field seed must carry the true probe's energy: for a unit
+    (|T|=1) object, mean far-field pattern energy / N^2 == ||probe||^2 by
+    Parseval under the unnormalized-FFT convention of free_prop='inf'.
+    The near-field variant applied to the same patterns is off by ~N^2 —
+    the divergence root cause fixed in round 5."""
+    from beyond_dof_tpu.models.probe import (
+        create_probe_initial_guess_farfield)
+    rng = np.random.RandomState(0)
+    probe = np.exp(1j * rng.normal(0, 0.3, (32, 32))).astype(np.complex64)
+    pattern = np.abs(np.fft.fftshift(np.fft.fft2(probe)))[None]
+    seed = create_probe_initial_guess_farfield(pattern, 1e4, 5000.0, 100.0)
+    e_true = np.sum(np.abs(probe) ** 2)
+    e_seed = np.sum(np.abs(seed) ** 2)
+    assert abs(e_seed - e_true) / e_true < 1e-4
+    nf = create_probe_initial_guess(pattern, 1e4, 5000.0, 100.0)
+    assert np.sum(np.abs(nf) ** 2) / e_true > 100.0

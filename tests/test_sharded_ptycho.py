@@ -175,3 +175,73 @@ def test_sharded_step_decreases_loss(setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_needs_x_pad():
+    from beyond_dof_tpu.recon.sharded_ptycho import needs_x_pad
+    # uniform grid flush with the volume: no overhang
+    pos = np.array([(8, 4), (8, 28)])
+    assert not needs_x_pad(pos, (8, 8), SIZE)
+    # window start below 0
+    assert needs_x_pad(np.array([(8, 2)]), (8, 8), SIZE)
+    # window end beyond dim_x
+    assert needs_x_pad(np.array([(8, 29)]), (8, 8), SIZE)
+
+
+def test_sharded_loss_matches_serial_with_x_overhang(setup):
+    """Positions whose windows overhang the volume in X exercise the
+    conditional X-pad branch (the reference's compute_pad_arr X case,
+    ref ptychography.py:45-61); overhanging rows must read the analytic
+    zero pad on both paths."""
+    *_, mesh = setup
+    gd, gb, mask, _, p_re, p_im, theta = _setup()
+    probe_pos = np.array([(y, x) for y in range(4, 29, 8)
+                          for x in (2, 16, 29)], dtype=int)
+    mag = _simulate_mags(gd, gb, probe_pos, p_re, p_im, theta)
+    n_ty = mesh.shape["ty"]
+    mag_slabs = arrange_data_y(mag, probe_pos, PROBE, gd.shape, n_ty)
+    params = {"delta": jnp.asarray(gd), "beta": jnp.asarray(gb)}
+    tx = optax.adam(1e-7)
+    opt_state = tx.init(params)
+    from beyond_dof_tpu.recon.sharded_ptycho import needs_x_pad
+    assert needs_x_pad(probe_pos, PROBE, SIZE)
+    step, loss_only = build_step_sharded_y_ptycho(
+        tx, opt_state, mesh, gd.shape, p_re, p_im, probe_pos, PROBE,
+        ENERGY, PSIZE, alpha_d=ALPHA_D, alpha_b=ALPHA_B, gamma=GAMMA)
+    loss_sh, _, _ = loss_only(params, jnp.asarray(mask),
+                              jnp.float32(theta), jnp.asarray(mag_slabs))
+    loss_se = serial_loss(params, jnp.asarray(mask), jnp.float32(theta),
+                          probe_pos, p_re, p_im, jnp.asarray(mag))
+    np.testing.assert_allclose(float(loss_sh), float(loss_se), rtol=1e-5)
+
+
+def test_sharded_memory_levers_parity(setup):
+    """checkpoint_ext only changes WHERE the backward recomputes, so loss
+    and grads must match the default exactly; bf16 extended slabs quantize
+    the object sampling (~3 decimal digits) so the loss lands within the
+    bf16 band."""
+    gd, gb, mask, probe_pos, p_re, p_im, theta, mag, mag_slabs, mesh = setup
+    params = {"delta": jnp.asarray(gd), "beta": jnp.asarray(gb)}
+    tx = optax.adam(1e-7)
+    opt_state = tx.init(params)
+
+    def build(**kw):
+        return build_step_sharded_y_ptycho(
+            tx, opt_state, mesh, gd.shape, p_re, p_im, probe_pos, PROBE,
+            ENERGY, PSIZE, alpha_d=ALPHA_D, alpha_b=ALPHA_B, gamma=GAMMA,
+            **kw)[1]
+
+    args = (params, jnp.asarray(mask), jnp.float32(theta),
+            jnp.asarray(mag_slabs))
+    base = build()
+    loss0 = float(base(*args)[0])
+    loss_ck = float(build(checkpoint_ext=True)(*args)[0])
+    np.testing.assert_allclose(loss_ck, loss0, rtol=1e-6)
+    g0 = jax.grad(lambda p: base(p, *args[1:])[0])(params)
+    g_ck = jax.grad(
+        lambda p: build(checkpoint_ext=True)(p, *args[1:])[0])(params)
+    for k in ("delta", "beta"):
+        a, b = np.asarray(g_ck[k]), np.asarray(g0[k])
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-30) < 1e-5, k
+    loss_bf = float(build(ext_dtype="bfloat16")(*args)[0])
+    assert abs(loss_bf - loss0) / abs(loss0) < 0.05
