@@ -234,12 +234,12 @@ def test_sharded_memory_levers_parity(setup):
     args = (params, jnp.asarray(mask), jnp.float32(theta),
             jnp.asarray(mag_slabs))
     base = build()
+    ck = build(checkpoint_ext=True)
     loss0 = float(base(*args)[0])
-    loss_ck = float(build(checkpoint_ext=True)(*args)[0])
+    loss_ck = float(ck(*args)[0])
     np.testing.assert_allclose(loss_ck, loss0, rtol=1e-6)
     g0 = jax.grad(lambda p: base(p, *args[1:])[0])(params)
-    g_ck = jax.grad(
-        lambda p: build(checkpoint_ext=True)(p, *args[1:])[0])(params)
+    g_ck = jax.grad(lambda p: ck(p, *args[1:])[0])(params)
     for k in ("delta", "beta"):
         a, b = np.asarray(g_ck[k]), np.asarray(g0[k])
         assert np.abs(a - b).max() / (np.abs(b).max() + 1e-30) < 1e-5, k
