@@ -58,7 +58,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
-        tilt_m=64, n_tilts=5, n_dists=3, out=None, n_bubbles=None):
+        tilt_m=64, n_tilts=5, n_dists=3, out=None, n_bubbles=None,
+        scoped_vmem_kib=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -195,14 +196,20 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
               "beta": jnp.zeros((nz, size, size), jnp.float32)}
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, p_re, p_im, kr, ki, meas):
+    def step_impl(params, opt_state, p_re, p_im, kr, ki, meas):
         (loss, err), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, p_re, p_im, kr, ki, meas)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = jax.tree.map(lambda a: jnp.maximum(a, 0.0), params)
         return params, opt_state, loss, err
+
+    # at 4096^2 the train step's pallas_call fusion needs a >16 MB scoped
+    # VMEM allocation; the TPU-only flag can't go through XLA_FLAGS (the
+    # client-side CPU XLA fatals on unknown flags) — pass it per-compile
+    co = ({"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
+          if scoped_vmem_kib else None)
+    step = jax.jit(step_impl, compiler_options=co)
 
     losses, epoch_times = [], []
     t_rec0 = time.time()
@@ -292,7 +299,10 @@ if __name__ == "__main__":
                     help="cap the phantom bubble count (the default "
                          "(size//8)^2 is hours of host rasterization at "
                          "4096; the slab only intersects a fraction anyway)")
+    ap.add_argument("--scoped-vmem-kib", type=int, default=None,
+                    help="raise the TPU scoped-VMEM limit for the train "
+                         "step compile (needed at 4096^2)")
     a = ap.parse_args()
     run(a.size, a.nz, a.n_epochs, a.lr, a.gamma, tilt_m=a.tilt_m,
         n_tilts=a.n_tilts, n_dists=a.n_dists, out=a.out,
-        n_bubbles=a.n_bubbles)
+        n_bubbles=a.n_bubbles, scoped_vmem_kib=a.scoped_vmem_kib)
