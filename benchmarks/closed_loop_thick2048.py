@@ -172,6 +172,14 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
     t_sim = time.time() - t0
     print("simulated", mags_meas.shape, round(t_sim, 1), "s", flush=True)
 
+    # the true slab is only needed again for host-side scoring (gd/gb
+    # stay on the host) — free its 2 x nz x N^2 device copy before the
+    # train step compiles. At 4096^2/nz=16 this is 2.0 GiB of the HBM
+    # headroom the step needs (attempt c OOMed at 17.27/15.75 GiB).
+    dz_true.delete()
+    bz_true.delete()
+    del dz_true, bz_true
+
     # ---- reconstruct --------------------------------------------------------
     n_views = float(n_tilts * n_dists)
 
@@ -209,7 +217,11 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
     # client-side CPU XLA fatals on unknown flags) — pass it per-compile
     co = ({"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
           if scoped_vmem_kib else None)
-    step = jax.jit(step_impl, compiler_options=co)
+    # donate params + opt_state: without donation the step holds both the
+    # old and new (params, mu, nu) triples live across the update — an
+    # extra 6 GiB at 4096^2/nz=16, the bulk of attempt c's 1.52 GiB OOM
+    # overshoot
+    step = jax.jit(step_impl, donate_argnums=(0, 1), compiler_options=co)
 
     losses, epoch_times = [], []
     t_rec0 = time.time()

@@ -444,6 +444,35 @@ def build_split_kernel(dim_y, dim_x, energy_ev, psize_cm, base=None):
             jnp.asarray(np.imag(h_p).astype(np.float32)))
 
 
+def blocked_block_sizes(dim_y, dim_x):
+    """Panel sizes (py, qx) for the blocked two-pass Pallas pipeline.
+
+    ``py`` is the X-pass row-panel height — the SUBLANE dim of its
+    (py, dim_x) blocks, so Mosaic only needs a multiple of 8. The
+    backward X-pass streams 12 double-buffered py x dim_x row windows;
+    at 8192^2 with py=128 that alone is 96 MB of the 128 MB VMEM
+    (measured compile OOM), so py drops to 64 for >= 8192 planes.
+
+    ``qx`` is the Y-pass column-panel width — the LANE dim of its
+    (dim_y, qx) blocks, which Mosaic requires to be a multiple of 128
+    (or the full dim). It therefore NEVER shrinks below 128: the r5
+    regression where BDT_BLOCKED_BLOCK=64 set both panels killed every
+    >= 2048^2 grad compile with a Mosaic block-shape error. The env
+    override applies to py alone.
+    """
+    py = 64 if dim_y >= 8192 else 128
+    env = os.environ.get("BDT_BLOCKED_BLOCK")
+    if env:
+        py = int(env)
+    py = min(py, dim_y)
+    if py % 8 or dim_y % py:
+        raise ValueError(
+            "blocked-kernel row panel py=%d must be a multiple of 8 "
+            "dividing dim_y=%d (BDT_BLOCKED_BLOCK?)" % (py, dim_y))
+    qx = 128 if dim_x % 128 == 0 else dim_x
+    return py, qx
+
+
 def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                                      energy_ev, psize_cm, h=None,
                                      free_prop_cm=None, propagate_last=True,
@@ -554,14 +583,7 @@ def multislice_propagate_batch_split(grid_delta, grid_beta, probe_re, probe_im,
                              "got (%d, %d)" % (dim_y, dim_x))
         if use_pallas == "blocked":
             interp = not _on_tpu()
-            # block sizing: the backward X-pass streams 12 row windows
-            # (6 in + 6 out, double-buffered) of py x dim_x floats — at
-            # 8192^2 with py=128 that alone is 96 MB of the chip's 128 MB
-            # VMEM (measured compile OOM, 136.3 MB total); py=64 halves it
-            py = qx = min(64 if dim_y >= 8192 else 128, dim_y)
-            blk_env = os.environ.get("BDT_BLOCKED_BLOCK")
-            if blk_env:
-                py = qx = min(int(blk_env), dim_y)
+            py, qx = blocked_block_sizes(dim_y, dim_x)
 
             def sweep(dz, bz, wr_, wi_):
                 # the blocked kernel is single-volume (Z, Y, X); batch

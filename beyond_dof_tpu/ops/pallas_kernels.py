@@ -789,6 +789,23 @@ def _make_ypass_kernel():
 
 
 def _blocked_calls(dim_y, dim_x, k, consts, interpret, py, qx):
+    # Panel sizes must tile the plane in any mode; the Mosaic block-shape
+    # rules additionally apply when actually lowering for TPU (interpret
+    # mode would happily run shapes the TPU lowering rejects — exactly how
+    # the r5 qx=64 regression slipped past the CPU suite): the X-pass row
+    # panel (py, dim_x) needs sublane py % 8 == 0; the Y-pass column panel
+    # (dim_y, qx) needs LANE qx % 128 == 0 (or qx == dim_x).
+    if dim_y % py or dim_x % qx:
+        raise ValueError("panels (py=%d, qx=%d) must divide the plane "
+                         "(%d, %d)" % (py, qx, dim_y, dim_x))
+    if not interpret:
+        if py % 8:
+            raise ValueError("X-pass row panel py=%d: Mosaic needs the "
+                             "sublane dim to be a multiple of 8" % py)
+        if qx % 128 and qx != dim_x:
+            raise ValueError("Y-pass column panel qx=%d: Mosaic requires "
+                             "the lane dim to be a multiple of 128 (or "
+                             "dim_x=%d)" % (qx, dim_x))
     base = consts[0].shape[0]
     twr = consts[6]
     mat = pl.BlockSpec((base, base), lambda p: (0, 0),

@@ -245,3 +245,48 @@ def test_split_path_routes_to_blocked():
             gx = np.asarray(gx)
             scale = np.abs(gx).max() + 1e-30
             assert np.abs(np.asarray(gp) - gx).max() / scale < 1e-4
+
+
+def test_blocked_block_sizes_mosaic_legal(monkeypatch):
+    """Router panel sizes always satisfy the Mosaic block-shape rules:
+    py (sublane) % 8 == 0 and qx (LANE) % 128 == 0 — the r5 regression
+    set qx=64 for >=8192 planes and killed every big-plane grad compile."""
+    from beyond_dof_tpu.ops.multislice import blocked_block_sizes
+
+    monkeypatch.delenv("BDT_BLOCKED_BLOCK", raising=False)
+    for n in (2048, 4096, 8192, 16384):
+        py, qx = blocked_block_sizes(n, n)
+        assert py % 8 == 0 and n % py == 0
+        assert qx % 128 == 0 and n % qx == 0
+    assert blocked_block_sizes(4096, 4096)[0] == 128
+    assert blocked_block_sizes(8192, 8192)[0] == 64   # VMEM lever
+    assert blocked_block_sizes(8192, 8192)[1] == 128  # lane dim pinned
+
+    # env override shrinks py ONLY; qx never drops below 128
+    monkeypatch.setenv("BDT_BLOCKED_BLOCK", "64")
+    py, qx = blocked_block_sizes(4096, 4096)
+    assert (py, qx) == (64, 128)
+    monkeypatch.setenv("BDT_BLOCKED_BLOCK", "100")  # not a multiple of 8
+    with pytest.raises(ValueError):
+        blocked_block_sizes(4096, 4096)
+
+
+def test_blocked_calls_rejects_illegal_panels():
+    """_blocked_calls fast-fails in Python on Mosaic-illegal panels
+    (interpret mode would otherwise run shapes TPU lowering rejects)."""
+    from beyond_dof_tpu.ops.pallas_kernels import (_blocked_calls,
+                                                   _radix_consts)
+
+    consts = _radix_consts(256, None)
+    # Mosaic rules only bind when NOT interpreting (interpret=False)
+    with pytest.raises(ValueError, match="lane"):
+        _blocked_calls(256, 256, 1.0, consts, False, py=128, qx=64)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _blocked_calls(256, 256, 1.0, consts, False, py=4, qx=128)
+    # non-dividing panels are illegal in ANY mode
+    with pytest.raises(ValueError, match="divide"):
+        _blocked_calls(256, 256, 1.0, consts, True, py=96, qx=128)
+    # legal on TPU: qx == dim_x (full-dim lane) and py == 64
+    _blocked_calls(256, 256, 1.0, consts, False, py=64, qx=256)
+    # legal in interpret mode: tiny panels for CPU tests
+    _blocked_calls(32, 32, 1.0, _radix_consts(32, 8), True, py=16, qx=16)
