@@ -137,6 +137,13 @@ def run(n_epochs=30, n_theta=500,
         "oracle": dict(probe_type="fixed",
                        probe_initial=(np.abs(p_true), np.angle(p_true))),
     }
+    if only and "retrieved_plr10x" in only:
+        # probe-LR sensitivity: is the glacial joint convergence
+        # (4.10 -> ~4.0 over 60 warm-start epochs) LR-limited?
+        jobs["retrieved_plr10x"] = dict(
+            probe_type="optimizable", probe_initial=None,
+            probe_learning_rate=1e-2,
+            pupil_function=circ_mask(probe_size, 0.98))
     if only and "joint_warmstart" in only:
         # continuation arm (the full-field twostage study's winning move,
         # probe_retrieval_twostage): joint probe+object warm-started from
@@ -168,7 +175,7 @@ def run(n_epochs=30, n_theta=500,
                "resolution_frac_nyquist": res,
                "recon_seconds": round(t_rec, 1),
                "final_loss": float(info["loss"][-1])}
-        if name in ("retrieved", "joint_warmstart"):
+        if name.startswith(("retrieved", "joint")):
             row["probe_rel_error_initial"] = probe_error(
                 gaussian_probe(probe_size, **preset_gauss), p_true)
             row["probe_rel_error_recovered"] = probe_error(
@@ -185,10 +192,9 @@ def run(n_epochs=30, n_theta=500,
         "preset_gaussian": gaussian_probe(probe_size, **preset_gauss),
         "plane": np.ones(probe_size, np.complex64),
     }
-    if "retrieved" in probes:
-        cand["retrieved"] = probes["retrieved"]
-    if "joint_warmstart" in probes:
-        cand["joint_warmstart"] = probes["joint_warmstart"]
+    for nm in probes:
+        if nm.startswith(("retrieved", "joint")):
+            cand[nm] = probes[nm]
     if only:  # partial rerun: only re-simulate the probes that changed
         cand = {k: v for k, v in cand.items() if k in probes}
     for name, pr in cand.items():
