@@ -59,7 +59,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
         tilt_m=64, n_tilts=5, n_dists=3, out=None, n_bubbles=None,
-        scoped_vmem_kib=None):
+        scoped_vmem_kib=None, single_material=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -183,8 +183,20 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
     # ---- reconstruct --------------------------------------------------------
     n_views = float(n_tilts * n_dists)
 
+    # single-material mode: the phantom IS one material (beta/delta constant
+    # everywhere — same Paganin-type constraint the reference's mask
+    # bootstrap leans on, ref util.py:1094-1119), so beta = r*delta is an
+    # EXACT reparameterization, not a prior. Optimizing delta alone halves
+    # params/grads/Adam moments: -4 GiB of the 4.53 GiB HBM overshoot that
+    # killed the 4096^2 attempt e.
+    beta_ratio = 5.1e-7 / 8.7e-6  # the phantom's material constants above
+
     def loss_fn(params, p_re, p_im, kr, ki, meas):
-        dz, bz = params["delta"][:, None], params["beta"][:, None]
+        if single_material:
+            dz = params["delta"][:, None]
+            bz = beta_ratio * dz
+        else:
+            dz, bz = params["delta"][:, None], params["beta"][:, None]
 
         def per_probe(carry, xs):
             pr, pi, meas_p = xs
@@ -200,8 +212,9 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
         return err + reg, err
 
     tx = optax.adam(lr)
-    params = {"delta": jnp.zeros((nz, size, size), jnp.float32),
-              "beta": jnp.zeros((nz, size, size), jnp.float32)}
+    params = {"delta": jnp.zeros((nz, size, size), jnp.float32)}
+    if not single_material:
+        params["beta"] = jnp.zeros((nz, size, size), jnp.float32)
     opt_state = tx.init(params)
 
     def step_impl(params, opt_state, p_re, p_im, kr, ki, meas):
@@ -273,6 +286,7 @@ def run(size=2048, nz=32, n_epochs=300, lr=1e-6, gamma=1e-9, seed=0,
         "tilt_m": tilt_m, "n_tilts": n_tilts, "dists_cm": dists,
         "dof_slices": dof_slices,
         "n_epochs": n_epochs, "lr": lr, "gamma": gamma,
+        "single_material": single_material,
         "phantom_seconds": round(t_phantom, 1),
         "sim_seconds": round(t_sim, 1),
         "recon_seconds": round(t_rec, 1),
@@ -314,7 +328,12 @@ if __name__ == "__main__":
     ap.add_argument("--scoped-vmem-kib", type=int, default=None,
                     help="raise the TPU scoped-VMEM limit for the train "
                          "step compile (needed at 4096^2)")
+    ap.add_argument("--single-material", action="store_true",
+                    help="optimize delta only, beta = (5.1e-7/8.7e-6)*delta "
+                         "(exact for the one-material phantom; halves "
+                         "params/grads/Adam state — the 4096^2 HBM lever)")
     a = ap.parse_args()
     run(a.size, a.nz, a.n_epochs, a.lr, a.gamma, tilt_m=a.tilt_m,
         n_tilts=a.n_tilts, n_dists=a.n_dists, out=a.out,
-        n_bubbles=a.n_bubbles, scoped_vmem_kib=a.scoped_vmem_kib)
+        n_bubbles=a.n_bubbles, scoped_vmem_kib=a.scoped_vmem_kib,
+        single_material=a.single_material)
