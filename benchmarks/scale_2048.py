@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(size, nz, iters):
+def bench(size, nz, iters, fwd_only=False):
     import jax
     import jax.numpy as jnp
     from beyond_dof_tpu.ops.pallas_kernels import (
@@ -171,10 +171,12 @@ def bench(size, nz, iters):
     max_rel = float(parity(delta, beta, w_re, w_im, hs_r, hs_i))
     print("parity", size, max_rel, round(time.time() - t0, 1), "s",
           flush=True)
-    t0 = time.time()
-    grad_rel = float(grad_parity(delta, beta, w_re, w_im, hs_r, hs_i))
-    print("grad parity", size, grad_rel, round(time.time() - t0, 1), "s",
-          flush=True)
+    grad_rel = None
+    if not fwd_only:
+        t0 = time.time()
+        grad_rel = float(grad_parity(delta, beta, w_re, w_im, hs_r, hs_i))
+        print("grad parity", size, grad_rel, round(time.time() - t0, 1),
+              "s", flush=True)
 
     prec = os.environ.get("BDT_DFT_PRECISION", "highest").lower()
     passes = {"highest": 6, "high": 3, "default": 1}[prec]
@@ -192,19 +194,21 @@ def bench(size, nz, iters):
             run_one(timed_factory(xla_call), "xla"),
         "blocked_pallas_fwd_slices_per_sec":
             run_one(timed_factory(blocked_call), "blocked"),
-        "xla_invertible_train_slices_per_sec":
-            run_one(grad_timed_factory(False), "xla-train"),
-        "blocked_pallas_train_slices_per_sec":
-            run_one(grad_timed_factory("blocked"), "blocked-train"),
     }
+    if not fwd_only:
+        out["xla_invertible_train_slices_per_sec"] = \
+            run_one(grad_timed_factory(False), "xla-train")
+        out["blocked_pallas_train_slices_per_sec"] = \
+            run_one(grad_timed_factory("blocked"), "blocked-train")
     out["xla_split_fwd_mfu_pct"] = mfu(
         out["xla_split_fwd_slices_per_sec"], False)
     out["blocked_pallas_fwd_mfu_pct"] = mfu(
         out["blocked_pallas_fwd_slices_per_sec"], False)
-    out["xla_invertible_train_mfu_pct"] = mfu(
-        out["xla_invertible_train_slices_per_sec"], True)
-    out["blocked_pallas_train_mfu_pct"] = mfu(
-        out["blocked_pallas_train_slices_per_sec"], True)
+    if not fwd_only:
+        out["xla_invertible_train_mfu_pct"] = mfu(
+            out["xla_invertible_train_slices_per_sec"], True)
+        out["blocked_pallas_train_mfu_pct"] = mfu(
+            out["blocked_pallas_train_slices_per_sec"], True)
     return out
 
 
@@ -214,6 +218,9 @@ def main():
     ap.add_argument("--only", type=int, default=None,
                     help="run ONE size (e.g. 8192 for the single-chip "
                          "plane-ceiling probe); writes scale_<size>.json")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="skip the grad-parity and train rows (at 16384^2 "
+                         "two grad sets + inputs alone exceed HBM)")
     a = ap.parse_args()
     prec = os.environ.get("BDT_DFT_PRECISION", "highest").lower()
     out = {"metric": "beyond_vmem_plane_scale", "precision": prec}
@@ -226,11 +233,12 @@ def main():
     fname = "benchmarks/scale_2048%s.json" % (
         "" if prec == "highest" else "_" + prec)
     if a.only:
-        nz_iters = {2048: (64, 5), 4096: (16, 3)}
+        nz_iters = {2048: (64, 5), 4096: (16, 3), 8192: (4, 2),
+                    16384: (2, 2)}
         sizes = [(a.only,) + nz_iters.get(a.only, (4, 2))]
         fname = "benchmarks/scale_%d.json" % a.only
     for size, nz, iters in sizes:
-        out["%d" % size] = bench(size, nz, iters)
+        out["%d" % size] = bench(size, nz, iters, fwd_only=a.fwd_only)
         print(size, json.dumps(out["%d" % size]), flush=True)
     with open(fname, "w") as f:
         json.dump(out, f, indent=1)
